@@ -1,0 +1,16 @@
+from .reference import eager_sink_attention, sink_window_mask
+from .flash import (
+    sink_flash_attention,
+    sink_flash_attention_with_lse,
+    sink_flash_attention_chunk,
+    merge_partials,
+)
+
+__all__ = [
+    "eager_sink_attention",
+    "sink_window_mask",
+    "sink_flash_attention",
+    "sink_flash_attention_with_lse",
+    "sink_flash_attention_chunk",
+    "merge_partials",
+]

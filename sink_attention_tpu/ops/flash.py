@@ -1,0 +1,727 @@
+"""Pallas TPU flash attention with attention-sink support (prefill/training).
+
+Implements the attention pattern of the reference Triton kernels
+(/root/reference/sink_attention/sink_flash_attention.py:93-484) as TPU-native
+Pallas (Mosaic) kernels:
+
+  valid(i, j) = causal(j <= i) AND (j < num_sink OR j >= i - window_size + 1)
+
+with the gpt-oss ``s_aux`` learnable per-head sink logit folded into the
+online-softmax initial state (m = s_aux, l = 1, acc = 0 — reference :142-146),
+full GQA/MQA, arbitrary head_dim (padded to 128 lanes), and a fully
+differentiable backward pass via ``jax.custom_vjp``.
+
+TPU-first design notes (this is NOT a port):
+
+* The reference's two-range KV loop (sink blocks, then window blocks with a
+  runtime start — reference :151-180) is expressed through the *grid*: the
+  innermost grid dimension enumerates ``NUM_SINK_BLOCKS + MAX_WINDOW_BLOCKS``
+  steps and the BlockSpec ``index_map`` computes which KV block each step
+  touches. Mosaic's pipeline machinery then double-buffers the K/V DMAs
+  automatically; steps outside the live range clamp to a previously-fetched
+  block (no DMA) and are masked with ``pl.when``.
+* Online-softmax state (acc, m, l) lives in VMEM scratch and is carried
+  across the innermost grid dimension (initialised at step 0, flushed at the
+  last step) — the canonical TPU flash-attention structure.
+* The backward dK/dV kernel accumulates across the GQA head group *via grid
+  revisiting* (the output block index is constant across the group dimension),
+  so dK/dV are produced directly at [B, H_kv, N, D] — unlike the reference,
+  which writes per-Q-head copies and reduces outside (reference :585-651)
+  because Triton lacks convenient cross-program accumulation.
+* Global query/key position offsets are scalar-prefetch operands, so the same
+  kernel serves square prefill, rectangular chunked prefill, and
+  ring-attention partials (merged with ``merge_partials``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "sink_flash_attention",
+    "sink_flash_attention_with_lse",
+    "sink_flash_attention_chunk",
+    "merge_partials",
+]
+
+NEG_INF = float("-inf")
+LANES = 128
+SUBLANES = 8  # fp32 sublane tile; row-vectors (lse, delta) are stored as
+# [*, SUBLANES, N] broadcast tiles so their blocks satisfy TPU (8, 128) tiling.
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _compiler_params(dims):
+    try:
+        return pltpu.CompilerParams(dimension_semantics=dims)
+    except Exception:  # pragma: no cover - older/newer jax field name drift
+        return None
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Shared block-range arithmetic (used by index_maps AND kernel bodies).
+# All inputs may be traced int32 scalars; all params are static Python ints.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kv_step(qi, step, q_off, kv_off, *, bm, bn, nsb, num_sink, window,
+                 n_q, n_kv_blocks):
+    """KV-block (local index) + validity for forward/dQ step ``step``.
+
+    Mirrors the reference's two-range iteration (sink_flash_attention.py
+    :151-180) in global coordinates, shifted into the local KV buffer.
+    """
+    kv_off_b = kv_off // bn
+    in_sink = step < nsb
+
+    # --- sink phase: global block ``step`` ---
+    sink_lblock = step - kv_off_b
+    sink_valid = (step * bn < num_sink) & (sink_lblock >= 0) & (
+        sink_lblock < n_kv_blocks)
+
+    # --- window phase ---
+    j = step - nsb
+    g_row_start = q_off + qi * bm
+    win_gstart = jnp.maximum(g_row_start - window + 1, num_sink)
+    win_bstart = jnp.maximum(win_gstart // bn, nsb)
+    win_bstart = jnp.maximum(win_bstart, kv_off_b)
+    causal_gend = jnp.minimum(g_row_start + bm, q_off + n_q)
+    win_bend = jnp.minimum((causal_gend - 1) // bn + 1, kv_off_b + n_kv_blocks)
+    win_gblock = win_bstart + j
+    win_lblock = win_gblock - kv_off_b
+    win_valid = (win_gblock < win_bend) & (win_lblock >= 0) & (
+        win_lblock < n_kv_blocks) & (causal_gend > win_gstart)
+
+    block = jnp.where(in_sink, sink_lblock, win_lblock)
+    valid = jnp.where(in_sink, sink_valid, win_valid)
+    return jnp.clip(block, 0, n_kv_blocks - 1), valid
+
+
+def _block_mask(rows_g, cols_g, num_sink: int, window: int):
+    """The unified sink+window+causal mask on global positions.
+
+    Reference: _build_sink_window_mask, sink_flash_attention.py:30-39.
+    """
+    causal = cols_g <= rows_g
+    sink = cols_g < num_sink
+    win = cols_g >= rows_g - window + 1
+    return causal & (sink | win)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale, num_sink, window, n_q, n_kv,
+                bm, bn, nsb, steps, use_s_aux):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    step = pl.program_id(2)
+    q_off = off_ref[0]
+    kv_off = off_ref[1]
+    n_kv_blocks = _cdiv(n_kv, bn)
+    aux_val = aux_ref[bh % aux_ref.shape[0], 0] if use_s_aux else None
+
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if use_s_aux:
+            m_ref[...] = jnp.full_like(m_ref, aux_val)
+            l_ref[...] = jnp.ones_like(l_ref)
+        else:
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+
+    block, valid = _fwd_kv_step(
+        qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
+        window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
+
+    @pl.when(valid)
+    def _body():
+        q = q_ref[0]  # [bm, d]
+        k = k_ref[0]  # [bn, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        rows_l = qi * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        cols_l = block * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window)
+        mask &= (rows_l < n_q) & (cols_l < n_kv)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        row_max = jnp.max(s, axis=1, keepdims=True)
+        has_valid = row_max > NEG_INF
+        m_new = jnp.where(has_valid, jnp.maximum(m_prev, row_max), m_prev)
+        m_safe = jnp.where(m_new > NEG_INF, m_new, 0.0)
+        alpha = jnp.where(m_prev > NEG_INF, jnp.exp(m_prev - m_safe), 0.0)
+        p = jnp.exp(s - m_safe)  # masked lanes: exp(-inf) = 0
+
+        l_ref[...] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        v = v_ref[0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(step == steps - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        lse = m_ref[:, 0] + jnp.log(l_safe[:, 0])  # [bm]
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# dQ kernel — same two-range grid structure as forward.
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, acc_ref, *, scale, num_sink, window, n_q, n_kv, bm, bn,
+               nsb, steps):
+    qi = pl.program_id(1)
+    step = pl.program_id(2)
+    q_off = off_ref[0]
+    kv_off = off_ref[1]
+    n_kv_blocks = _cdiv(n_kv, bn)
+
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    block, valid = _fwd_kv_step(
+        qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
+        window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
+
+    @pl.when(valid)
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0, 0].astype(jnp.float32)  # [bm]
+        delta = delta_ref[0, 0].astype(jnp.float32)  # [bm]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        rows_l = qi * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        cols_l = block * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window)
+        mask &= (rows_l < n_q) & (cols_l < n_kv)
+
+        p = jnp.exp(s - lse[:, None])
+        p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        ds = jnp.where(mask, ds, 0.0)
+        acc_ref[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(step == steps - 1)
+    def _finalize():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# dK/dV kernel — grid (B*H_kv, n_kv_blocks, group, q_steps); dK/dV accumulate
+# in scratch across (group, q_steps) and flush once per KV block.
+# ---------------------------------------------------------------------------
+
+
+def _dkdv_q_step(ni, step, q_off, kv_off, *, bm, bn, num_sink, window,
+                 n_kv, n_q_blocks, sink_pass):
+    """Q-block (local index) + validity for dK/dV step ``step`` at KV block ni.
+
+    ``sink_pass`` statically selects the iteration bound semantics: sink KV
+    blocks are attended by every later query block (reference :321-336);
+    window KV blocks only by blocks within the window span (reference
+    :337-357).
+    """
+    kv_gstart = ni * bn + kv_off
+    # First query that can attend this KV block (causal): q >= kv_gstart.
+    q_bstart = jnp.maximum((kv_gstart - q_off) // bm, 0)
+    if sink_pass:
+        q_bend = n_q_blocks
+    else:
+        # Last query attending: kv_gstart + bn - 1 + window - 1.
+        max_q_g = kv_gstart + bn + window - 2
+        q_bend = jnp.minimum((max_q_g - q_off) // bm + 1, n_q_blocks)
+    q_block = q_bstart + step
+    valid = (q_block < q_bend) & (q_block >= 0) & (kv_gstart < n_kv + kv_off)
+    return jnp.clip(q_block, 0, n_q_blocks - 1), valid
+
+
+def _dkdv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                 dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_sink, window,
+                 n_q, n_kv, bm, bn, q_steps, group, sink_pass, kv_block_base):
+    ni = pl.program_id(1) + kv_block_base
+    g = pl.program_id(2)
+    step = pl.program_id(3)
+    q_off = off_ref[0]
+    kv_off = off_ref[1]
+    n_q_blocks = _cdiv(n_q, bm)
+
+    @pl.when((g == 0) & (step == 0))
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_block, valid = _dkdv_q_step(
+        ni, step, q_off, kv_off, bm=bm, bn=bn, num_sink=num_sink,
+        window=window, n_kv=n_kv, n_q_blocks=n_q_blocks, sink_pass=sink_pass)
+
+    @pl.when(valid)
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0, 0].astype(jnp.float32)
+        delta = delta_ref[0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bm, bn]
+        rows_l = q_block * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        cols_l = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window)
+        mask &= (rows_l < n_q) & (cols_l < n_kv)
+
+        p = jnp.exp(s - lse[:, None])
+        p = jnp.where(mask, p, 0.0)
+        # dV += P^T @ dO
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        ds = jnp.where(mask, ds, 0.0)
+        # dK += dS^T @ Q  (scale applied at flush)
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when((g == group - 1) & (step == q_steps - 1))
+    def _finalize():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pad_nd(x, n_to: int, d_to: int):
+    n_pad, d_pad = n_to - x.shape[-2], d_to - x.shape[-1]
+    if n_pad or d_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad), (0, d_pad)))
+    return x
+
+
+def _prep(q, k, v, bm, bn):
+    """Pad N/D and fold batch+head dims. Returns folded arrays + dims."""
+    B, H_q, N_q, D = q.shape
+    H_kv, N_kv = k.shape[1], k.shape[2]
+    assert H_q % H_kv == 0, (H_q, H_kv)
+    d_pad = _round_up(D, LANES)
+    nq_pad = _round_up(N_q, bm)
+    nk_pad = _round_up(N_kv, bn)
+    qp = _pad_nd(q, nq_pad, d_pad).reshape(B * H_q, nq_pad, d_pad)
+    kp = _pad_nd(k, nk_pad, d_pad).reshape(B * H_kv, nk_pad, d_pad)
+    vp = _pad_nd(v, nk_pad, d_pad).reshape(B * H_kv, nk_pad, d_pad)
+    return qp, kp, vp, (B, H_q, H_kv, N_q, N_kv, D, nq_pad, nk_pad, d_pad)
+
+
+def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    qp, kp, vp, dims = _prep(q, k, v, bm, bn)
+    B, H_q, H_kv, N_q, N_kv, D, nq_pad, nk_pad, d_pad = dims
+    group = H_q // H_kv
+    scale = 1.0 / (D**0.5)
+
+    n_q_blocks = nq_pad // bm
+    n_kv_blocks = nk_pad // bn
+    nsb = min(_cdiv(num_sink, bn), n_kv_blocks) if num_sink > 0 else 0
+    mwb = min(_cdiv(window + bm, bn), n_kv_blocks)
+    steps = max(nsb + mwb, 1)
+
+    use_s_aux = s_aux is not None
+    if use_s_aux:
+        aux = s_aux.astype(jnp.float32).reshape(H_q, 1)
+    else:
+        aux = jnp.zeros((1, 1), jnp.float32)
+
+    offsets = jnp.asarray(offsets, jnp.int32)
+
+    def kv_bh(bh):
+        return (bh // H_q) * H_kv + (bh % H_q) // group
+
+    def kv_index(bh, qi, s, off):
+        block, _ = _fwd_kv_step(
+            qi, s, off[0], off[1], bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
+            window=window, n_q=N_q, n_kv_blocks=n_kv_blocks)
+        return (kv_bh(bh), block, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H_q, n_q_blocks, steps),
+        in_specs=[
+            pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+            pl.BlockSpec((1, bn, d_pad), kv_index),
+            pl.BlockSpec((1, bn, d_pad), kv_index),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # s_aux, whole array
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+            pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bm, d_pad), jnp.float32),
+            pltpu.VMEM((bm, LANES), jnp.float32),
+            pltpu.VMEM((bm, LANES), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, num_sink=num_sink, window=window, n_q=N_q,
+        n_kv=N_kv, bm=bm, bn=bn, nsb=nsb, steps=steps, use_s_aux=use_s_aux)
+
+    flops = 4 * B * H_q * N_q * min(num_sink + window, N_kv) * d_pad
+    params = dict(
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H_q, nq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((B * H_q, SUBLANES, nq_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * H_q * N_q * min(
+                num_sink + window, N_kv), bytes_accessed=0),
+        interpret=interpret,
+    )
+    cp = _compiler_params(("parallel", "parallel", "arbitrary"))
+    if cp is not None:
+        params["compiler_params"] = cp
+
+    o_p, lse_p = pl.pallas_call(kernel, **params)(offsets, qp, kp, vp, aux)
+    o = o_p.reshape(B, H_q, nq_pad, d_pad)[:, :, :N_q, :D]
+    lse = lse_p[:, 0].reshape(B, H_q, nq_pad)[:, :, :N_q]
+    return o, lse
+
+
+def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
+              interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    qp, kp, vp, dims = _prep(q, k, v, bm, bn)
+    B, H_q, H_kv, N_q, N_kv, D, nq_pad, nk_pad, d_pad = dims
+    group = H_q // H_kv
+    scale = 1.0 / (D**0.5)
+
+    dop = _pad_nd(do, nq_pad, _round_up(D, LANES)).reshape(
+        B * H_q, nq_pad, d_pad)
+
+    def pack_rowvec(x):
+        """[B, H_q, N_q] -> [B*H_q, SUBLANES, nq_pad] broadcast tile."""
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, nq_pad - N_q))).reshape(
+            B * H_q, 1, nq_pad)
+        return jnp.broadcast_to(x, (B * H_q, SUBLANES, nq_pad))
+
+    # delta = sum_d dO * O in fp32 (reference :582)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta_p = pack_rowvec(delta)
+    lse_p = pack_rowvec(lse)
+
+    offsets = jnp.asarray(offsets, jnp.int32)
+    n_q_blocks = nq_pad // bm
+    n_kv_blocks = nk_pad // bn
+    nsb = min(_cdiv(num_sink, bn), n_kv_blocks) if num_sink > 0 else 0
+    mwb = min(_cdiv(window + bm, bn), n_kv_blocks)
+    steps = max(nsb + mwb, 1)
+
+    def kv_bh(bh):
+        return (bh // H_q) * H_kv + (bh % H_q) // group
+
+    # ---- dQ: grid (B*H_q, n_q_blocks, steps) ----
+    def kv_index(bh, qi, s, off):
+        block, _ = _fwd_kv_step(
+            qi, s, off[0], off[1], bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
+            window=window, n_q=N_q, n_kv_blocks=n_kv_blocks)
+        return (kv_bh(bh), block, 0)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H_q, n_q_blocks, steps),
+        in_specs=[
+            pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+            pl.BlockSpec((1, bn, d_pad), kv_index),
+            pl.BlockSpec((1, bn, d_pad), kv_index),
+            pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+            pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
+            pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, d_pad),
+                               lambda bh, qi, s, off: (bh, qi, 0)),
+        scratch_shapes=[pltpu.VMEM((bm, d_pad), jnp.float32)],
+    )
+    dq_kernel = functools.partial(
+        _dq_kernel, scale=scale, num_sink=num_sink, window=window, n_q=N_q,
+        n_kv=N_kv, bm=bm, bn=bn, nsb=nsb, steps=steps)
+    dq_params = dict(
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H_q, nq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )
+    cp = _compiler_params(("parallel", "parallel", "arbitrary"))
+    if cp is not None:
+        dq_params["compiler_params"] = cp
+    dq_p = pl.pallas_call(dq_kernel, **dq_params)(
+        offsets, qp, kp, vp, dop, lse_p, delta_p)
+    dq = dq_p.reshape(B, H_q, nq_pad, d_pad)[:, :, :N_q, :D]
+
+    # ---- dK/dV: two passes over disjoint KV-block ranges ----
+    # Sink KV blocks (every later Q block attends) and window KV blocks
+    # (bounded Q span) — the reference's two-branch loop (:321-357) split
+    # into two pallas_calls so each gets a tight static trip count.
+    def run_dkdv(kv_lo: int, kv_hi: int, q_steps: int, sink_pass: bool):
+        nblocks = kv_hi - kv_lo
+        if nblocks <= 0:
+            return None, None
+
+        def q_index_of(ni, s, off):
+            q_block, _ = _dkdv_q_step(
+                ni + kv_lo, s, off[0], off[1], bm=bm, bn=bn,
+                num_sink=num_sink, window=window, n_kv=N_kv,
+                n_q_blocks=n_q_blocks, sink_pass=sink_pass)
+            return q_block
+
+        spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H_kv, nblocks, group, q_steps),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, bm, d_pad),
+                    lambda bkh, ni, g, s, off:
+                        (bkh // H_kv * H_q + (bkh % H_kv) * group + g,
+                         q_index_of(ni, s, off), 0)),
+                pl.BlockSpec((1, bn, d_pad),
+                             lambda bkh, ni, g, s, off: (bkh, ni + kv_lo, 0)),
+                pl.BlockSpec((1, bn, d_pad),
+                             lambda bkh, ni, g, s, off: (bkh, ni + kv_lo, 0)),
+                pl.BlockSpec(
+                    (1, bm, d_pad),
+                    lambda bkh, ni, g, s, off:
+                        (bkh // H_kv * H_q + (bkh % H_kv) * group + g,
+                         q_index_of(ni, s, off), 0)),
+                pl.BlockSpec(
+                    (1, SUBLANES, bm),
+                    lambda bkh, ni, g, s, off:
+                        (bkh // H_kv * H_q + (bkh % H_kv) * group + g,
+                         0, q_index_of(ni, s, off))),
+                pl.BlockSpec(
+                    (1, SUBLANES, bm),
+                    lambda bkh, ni, g, s, off:
+                        (bkh // H_kv * H_q + (bkh % H_kv) * group + g,
+                         0, q_index_of(ni, s, off))),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bn, d_pad),
+                             lambda bkh, ni, g, s, off: (bkh, ni, 0)),
+                pl.BlockSpec((1, bn, d_pad),
+                             lambda bkh, ni, g, s, off: (bkh, ni, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bn, d_pad), jnp.float32),
+                pltpu.VMEM((bn, d_pad), jnp.float32),
+            ],
+        )
+        kern = functools.partial(
+            _dkdv_kernel, scale=scale, num_sink=num_sink, window=window,
+            n_q=N_q, n_kv=N_kv, bm=bm, bn=bn, q_steps=q_steps, group=group,
+            sink_pass=sink_pass, kv_block_base=kv_lo)
+        kw = dict(
+            grid_spec=spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H_kv, nblocks * bn, d_pad), k.dtype),
+                jax.ShapeDtypeStruct((B * H_kv, nblocks * bn, d_pad), v.dtype),
+            ],
+            interpret=interpret,
+        )
+        cpb = _compiler_params(
+            ("parallel", "parallel", "arbitrary", "arbitrary"))
+        if cpb is not None:
+            kw["compiler_params"] = cpb
+        return pl.pallas_call(kern, **kw)(
+            offsets, qp, kp, vp, dop, lse_p, delta_p)
+
+    q_steps_win = max(1, min(_cdiv(window + bn + bm, bm), n_q_blocks))
+    dk_sink, dv_sink = run_dkdv(0, nsb, max(n_q_blocks, 1), sink_pass=True)
+    dk_win, dv_win = run_dkdv(nsb, n_kv_blocks, q_steps_win, sink_pass=False)
+
+    parts_k = [x for x in (dk_sink, dk_win) if x is not None]
+    parts_v = [x for x in (dv_sink, dv_win) if x is not None]
+    dk_p = parts_k[0] if len(parts_k) == 1 else jnp.concatenate(parts_k, 1)
+    dv_p = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v, 1)
+    dk = dk_p.reshape(B, H_kv, nk_pad, d_pad)[:, :, :N_kv, :D]
+    dv = dv_p.reshape(B, H_kv, nk_pad, d_pad)[:, :, :N_kv, :D]
+
+    # ---- ds_aux (jnp epilogue; reference :658-665) ----
+    ds_aux = None
+    if s_aux is not None:
+        sink_prob = jnp.exp(
+            s_aux.astype(jnp.float32)[None, :, None] - lse)  # [B,H_q,N]
+        ds_aux = -(sink_prob * delta).sum(axis=(0, 2)).astype(s_aux.dtype)
+
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), ds_aux
+
+
+# ---------------------------------------------------------------------------
+# Public API (custom_vjp)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _sink_attn(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret):
+    o, _ = _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
+                     interpret)
+    return o
+
+
+def _sink_attn_fwd(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
+                   interpret):
+    o, lse = _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
+                       interpret)
+    return o, (q, k, v, s_aux, offsets, o, lse)
+
+
+def _sink_attn_bwd(num_sink, window, bm, bn, interpret, res, g):
+    q, k, v, s_aux, offsets, o, lse = res
+    dq, dk, dv, ds_aux = _bwd_impl(
+        q, k, v, s_aux, offsets, o, lse, g, num_sink, window, bm, bn,
+        interpret)
+    return dq, dk, dv, ds_aux, None
+
+
+_sink_attn.defvjp(_sink_attn_fwd, _sink_attn_bwd)
+
+
+def _block_sizes(n_q: int, n_kv: int, block_q, block_kv):
+    bm = block_q or 128
+    bn = block_kv or 128
+    return bm, bn
+
+
+def sink_flash_attention(q, k, v, num_sink: int = 4, window_size: int = 512,
+                         s_aux=None, q_offset: int = 0, kv_offset: int = 0,
+                         block_q: int | None = None,
+                         block_kv: int | None = None,
+                         interpret: bool | None = None):
+    """Flash attention with attention-sink support (differentiable).
+
+    Args:
+        q: [B, H_q, N_q, D]; k, v: [B, H_kv, N_kv, D] (GQA/MQA supported).
+        num_sink: always-attended leading (global) tokens.
+        window_size: causal sliding window (includes self).
+        s_aux: optional [H_q] learnable per-head sink logit (gpt-oss).
+        q_offset / kv_offset: static global position offsets for chunked use.
+            kv_offset must be a multiple of the KV block size.
+        block_q / block_kv: tile sizes (default 128).
+        interpret: force Pallas interpreter mode (defaults to True off-TPU).
+
+    Returns:
+        [B, H_q, N_q, D] attention output in q.dtype.
+    """
+    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv)
+    assert kv_offset % bn == 0, "kv_offset must be a multiple of block_kv"
+    offsets = jnp.array([q_offset, kv_offset], jnp.int32)
+    return _sink_attn(q, k, v, s_aux, offsets, num_sink, window_size, bm, bn,
+                      interpret)
+
+
+def sink_flash_attention_with_lse(q, k, v, num_sink: int = 4,
+                                  window_size: int = 512, s_aux=None,
+                                  q_offset: int = 0, kv_offset: int = 0,
+                                  block_q: int | None = None,
+                                  block_kv: int | None = None,
+                                  interpret: bool | None = None):
+    """Forward-only variant returning (out, lse) for partial merging."""
+    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv)
+    offsets = jnp.array([q_offset, kv_offset], jnp.int32)
+    return _fwd_impl(q, k, v, s_aux, offsets, num_sink, window_size, bm, bn,
+                     interpret)
+
+
+def sink_flash_attention_chunk(q, k, v, offsets, num_sink: int = 4,
+                               window_size: int = 512,
+                               block_q: int | None = None,
+                               block_kv: int | None = None,
+                               interpret: bool | None = None):
+    """Rectangular chunk attention with *traced* [q_offset, kv_offset].
+
+    Forward-only; returns (out, lse) partials for ``merge_partials`` (ring
+    attention / chunked prefill). s_aux must be folded in at merge time so it
+    is counted exactly once across chunks.
+    """
+    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv)
+    return _fwd_impl(q, k, v, None, offsets, num_sink, window_size, bm, bn,
+                     interpret)
+
+
+def merge_partials(outs, lses, s_aux=None):
+    """Merge online-softmax partials: lists of (o [B,H,N,D], lse [B,H,N]).
+
+    Each partial must be normalised by its own lse (as returned by the
+    kernels). ``s_aux`` is incorporated as a virtual partial with
+    (lse=s_aux, o=0) — the decode Phase-2 trick (reference
+    decode_kernel.py:205-226) at the chunk level.
+    """
+    assert len(outs) == len(lses) and outs, "need >= 1 partial"
+    lse_stack = jnp.stack([l.astype(jnp.float32) for l in lses])  # [S,B,H,N]
+    if s_aux is not None:
+        aux = jnp.broadcast_to(
+            s_aux.astype(jnp.float32)[None, None, :, None],
+            lse_stack.shape[1:])
+        lse_stack = jnp.concatenate([lse_stack, aux[None]], axis=0)
+    m = jnp.max(lse_stack, axis=0)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.exp(lse_stack - m_safe[None])  # [S+?,B,H,N]
+    denom = jnp.sum(w, axis=0)
+    denom_safe = jnp.where(denom == 0.0, 1.0, denom)
+    o_stack = jnp.stack([o.astype(jnp.float32) for o in outs])
+    out = jnp.einsum("sbhn,sbhnd->bhnd", w[:len(outs)], o_stack) / (
+        denom_safe[..., None])
+    lse_out = m_safe + jnp.log(denom_safe)
+    lse_out = jnp.where(denom == 0.0, NEG_INF, lse_out)
+    return out.astype(outs[0].dtype), lse_out
