@@ -5,6 +5,7 @@ from .flash import (
     sink_flash_attention_chunk,
     merge_partials,
 )
+from .decode import sink_decode_attention, sink_decode_attention_cached
 
 __all__ = [
     "eager_sink_attention",
@@ -13,4 +14,6 @@ __all__ = [
     "sink_flash_attention_with_lse",
     "sink_flash_attention_chunk",
     "merge_partials",
+    "sink_decode_attention",
+    "sink_decode_attention_cached",
 ]

@@ -1,0 +1,260 @@
+"""Pallas TPU single-token decode attention over the rolling sink KV cache.
+
+Replaces the reference's FlashDecoding split-KV Triton kernel + PyTorch
+Phase-2 reduction (/root/reference/sink_attention/decode_kernel.py:28-226)
+with one Pallas kernel, redesigned for TPU:
+
+* No split-KV two-phase scheme: TPU has no SM-occupancy problem to solve.
+  The kernel tiles the KV slot dimension through the grid and carries the
+  online-softmax state (m, l, acc) in VMEM scratch — one pass, no partial
+  buffers, no host-side reduction.
+* ``s_aux`` initializes the softmax state (m = s_aux, l = 1, acc = 0),
+  exactly like the prefill kernel — instead of the reference's "virtual KV
+  split" concatenation (decode_kernel.py:205-215).
+* The circular window buffer is attended **in place**: softmax is
+  permutation-invariant over the KV set, so only a per-slot validity mask is
+  needed (slot < sink_len, or slot within the valid window prefix) — no
+  chronological linearization copies (reference cache.py:185-216).
+* INT8/FP8 KV dequantization is fused: per-token scales multiply the score
+  and probability rows (cheap [G, S]-shaped VPU work), so the matmuls read
+  quantized data straight from the cache and HBM traffic is halved/quartered.
+* GQA is handled by shaping the query as [B * H_kv, group, D] so each grid
+  step computes all query heads of one KV head on the MXU together.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cache.sink_cache import SinkKVCache
+
+__all__ = ["sink_decode_attention", "sink_decode_attention_cached"]
+
+NEG_INF = float("-inf")
+LANES = 128
+SUBLANES = 8
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _valid_total(lens_ref, sink_cap: int):
+    """Highest valid slot index + 1 (for skipping empty KV blocks)."""
+    sink_len, window_len = lens_ref[0], lens_ref[1]
+    return jnp.where(window_len > 0, sink_cap + window_len, sink_len)
+
+
+def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
+                   o_ref, acc_ref, m_ref, l_ref, *, scale, sink_cap, block_s,
+                   steps, use_aux, quantized):
+    step = pl.program_id(1)
+    sink_len = lens_ref[0]
+    window_len = lens_ref[1]
+
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if use_aux:
+            m_ref[...] = jnp.broadcast_to(aux_ref[0][:, :1], m_ref.shape)
+            l_ref[...] = jnp.ones_like(l_ref)
+        else:
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+
+    valid_total = _valid_total(lens_ref, sink_cap)
+    step_valid = step * block_s < valid_total
+
+    @pl.when(step_valid)
+    def _body():
+        q = q_ref[0]  # [g_pad, d_pad]
+        k = k_ref[0]  # [block_s, d_pad] (possibly quantized dtype)
+        g_pad = q.shape[0]
+        kc = k.astype(jnp.bfloat16) if quantized else k
+        s = jax.lax.dot_general(
+            q.astype(kc.dtype), kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [g_pad, block_s]
+        if quantized:
+            s = s * ks_ref[0, 0][None, :]
+
+        slots = step * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (g_pad, block_s), 1)
+        valid = (slots < sink_len) | ((slots >= sink_cap) &
+                                      (slots < sink_cap + window_len))
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        row_max = jnp.max(s, axis=1, keepdims=True)
+        has_valid = row_max > NEG_INF
+        m_new = jnp.where(has_valid, jnp.maximum(m_prev, row_max), m_prev)
+        m_safe = jnp.where(m_new > NEG_INF, m_new, 0.0)
+        alpha = jnp.where(m_prev > NEG_INF, jnp.exp(m_prev - m_safe), 0.0)
+        p = jnp.exp(s - m_safe)
+
+        l_ref[...] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        v = v_ref[0]
+        vc = v.astype(jnp.bfloat16) if quantized else v
+        if quantized:
+            p = p * vs_ref[0, 0][None, :]
+        pv = jax.lax.dot_general(
+            p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(step == steps - 1)
+    def _fin():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+
+
+def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
+                 sink_cap: int, scale: float, quantized: bool,
+                 block_s: Optional[int], interpret: Optional[bool]):
+    """q: [B, H_q, 1, D]; k_buf/v_buf: [B, H_kv, S_total, D_pad]."""
+    if interpret is None:
+        interpret = _default_interpret()
+    B, H_q, n_q, D = q.shape
+    assert n_q == 1, "decode kernel handles a single query token"
+    _, H_kv, s_total, d_pad = k_buf.shape
+    assert H_q % H_kv == 0
+    group = H_q // H_kv
+    g_pad = _round_up(group, 16)
+
+    if block_s is None:
+        block_s = 512 if s_total % 512 == 0 else (
+            256 if s_total % 256 == 0 else LANES)
+    assert s_total % block_s == 0, (s_total, block_s)
+    steps = s_total // block_s
+
+    # [B, H_q, 1, D] -> [B*H_kv, g_pad, d_pad]
+    qg = q.reshape(B, H_kv, group, D)
+    qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, d_pad - D)))
+    qg = qg.reshape(B * H_kv, g_pad, d_pad)
+
+    kb = k_buf.reshape(B * H_kv, s_total, d_pad)
+    vb = v_buf.reshape(B * H_kv, s_total, d_pad)
+
+    def pack_scale(sc):
+        sc = sc.reshape(B * H_kv, 1, s_total).astype(jnp.float32)
+        return jnp.broadcast_to(sc, (B * H_kv, SUBLANES, s_total))
+
+    ks = pack_scale(k_scale)
+    vs = pack_scale(v_scale)
+
+    use_aux = s_aux is not None
+    if use_aux:
+        aux = s_aux.astype(jnp.float32).reshape(H_kv, group, 1)
+        aux = jnp.pad(aux, ((0, 0), (0, g_pad - group), (0, 0)))
+        aux = jnp.broadcast_to(aux, (H_kv, g_pad, LANES))
+    else:
+        aux = jnp.zeros((1, g_pad, LANES), jnp.float32)
+
+    lens = jnp.asarray(lens, jnp.int32)
+
+    def kv_index(bh, s, lens_ref):
+        vt = _valid_total(lens_ref, sink_cap)
+        max_step = jnp.maximum(_cdiv(vt, block_s) - 1, 0)
+        return (bh, jnp.minimum(s, max_step), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H_kv, steps),
+        in_specs=[
+            pl.BlockSpec((1, g_pad, d_pad), lambda bh, s, lens: (bh, 0, 0)),
+            pl.BlockSpec((1, block_s, d_pad), kv_index),
+            pl.BlockSpec((1, block_s, d_pad), kv_index),
+            pl.BlockSpec((1, SUBLANES, block_s),
+                         lambda bh, s, lens: kv_index(bh, s, lens)[:1] +
+                         (0, kv_index(bh, s, lens)[1])),
+            pl.BlockSpec((1, SUBLANES, block_s),
+                         lambda bh, s, lens: kv_index(bh, s, lens)[:1] +
+                         (0, kv_index(bh, s, lens)[1])),
+            pl.BlockSpec((1, g_pad, LANES),
+                         (lambda bh, s, lens: (bh % H_kv, 0, 0)) if use_aux
+                         else (lambda bh, s, lens: (0, 0, 0))),
+        ],
+        out_specs=pl.BlockSpec((1, g_pad, d_pad),
+                               lambda bh, s, lens: (bh, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((g_pad, d_pad), jnp.float32),
+            pltpu.VMEM((g_pad, LANES), jnp.float32),
+            pltpu.VMEM((g_pad, LANES), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, sink_cap=sink_cap, block_s=block_s,
+        steps=steps, use_aux=use_aux, quantized=quantized)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H_kv, g_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(lens, qg, kb, vb, ks, vs, aux)
+
+    out = out.reshape(B, H_kv, g_pad, d_pad)[:, :, :group, :D]
+    return out.reshape(B, H_q, 1, D)
+
+
+def sink_decode_attention(q, k, v, s_aux=None, block_s: Optional[int] = None,
+                          interpret: Optional[bool] = None):
+    """Single-token decode attention over plain (already-evicted) KV.
+
+    API-parity with the reference ``sink_decode_attention``
+    (decode_kernel.py:120-149): all provided KV positions are attended (the
+    cache already evicted out-of-window tokens; no causal mask needed).
+
+    Args:
+        q: [B, H_q, 1, D]; k, v: [B, H_kv, N_kv, D]; s_aux: optional [H_q].
+    """
+    B, H_kv, n_kv, D = k.shape
+    d_pad = _round_up(D, LANES)
+    n_pad = _round_up(n_kv, LANES)
+    pad = ((0, 0), (0, 0), (0, n_pad - n_kv), (0, d_pad - D))
+    kb = jnp.pad(k, pad)
+    vb = jnp.pad(v, pad)
+    ones = jnp.ones((B, H_kv, n_pad), jnp.float32)
+    lens = jnp.array([0, n_kv], jnp.int32)  # sink_len=0; window prefix = KV
+    return _decode_call(
+        q, kb, vb, ones, ones, lens, s_aux, sink_cap=0,
+        scale=1.0 / (D**0.5), quantized=False, block_s=block_s,
+        interpret=interpret)
+
+
+def sink_decode_attention_cached(q, cache: SinkKVCache, s_aux=None,
+                                 block_s: Optional[int] = None,
+                                 interpret: Optional[bool] = None):
+    """Single-token decode attention directly over a ``SinkKVCache``.
+
+    Reads the sink + circular window buffer in place (quantized or not);
+    no linearization, no copies.
+
+    Args:
+        q: [B, H_q, 1, D] query for the token being decoded (its KV must
+           already be appended to ``cache``).
+    """
+    D = q.shape[-1]
+    lens = jnp.stack([cache.sink_len, cache.window_len]).astype(jnp.int32)
+    return _decode_call(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, lens, s_aux,
+        sink_cap=cache.sink_cap, scale=1.0 / (D**0.5),
+        quantized=cache.quant is not None, block_s=block_s,
+        interpret=interpret)

@@ -1,0 +1,136 @@
+"""Sink KV cache state-machine tests.
+
+Mirrors the reference cache suite (/root/reference/tests/test_cache.py:386-404):
+prefill variants, sequential decode with eviction, circular linearization with
+sentinel values, GQA shapes, beam reorder, seen-token accounting — plus the
+quantized variants the TPU build adds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sink_attention_tpu.cache import SinkKVCache
+
+
+def token_kv(B, H, n, D, start=0):
+    """KV whose slot dim equals the global token index (sentinel values)."""
+    vals = (jnp.arange(start, start + n, dtype=jnp.float32)
+            .reshape(1, 1, n, 1))
+    return (jnp.broadcast_to(vals, (B, H, n, D)),
+            jnp.broadcast_to(vals + 0.5, (B, H, n, D)))
+
+
+def chrono(cache):
+    k, v = cache.linearized_kv(head_dim=1)
+    return np.asarray(k)[0, 0, :, 0]
+
+
+def test_prefill_short():
+    cache = SinkKVCache.init(1, 2, 8, num_sink=4, window_size=8,
+                             dtype=jnp.float32)
+    k, v = token_kv(1, 2, 3, 8)
+    cache = cache.prefill(k, v)
+    assert int(cache.sink_len) == 3 and int(cache.window_len) == 0
+    assert int(cache.get_seq_length()) == 3
+    np.testing.assert_array_equal(chrono(cache), [0, 1, 2])
+
+
+def test_prefill_exact_sink():
+    cache = SinkKVCache.init(1, 2, 8, num_sink=4, window_size=8,
+                             dtype=jnp.float32)
+    cache = cache.prefill(*token_kv(1, 2, 4, 8))
+    assert int(cache.sink_len) == 4 and int(cache.window_len) == 0
+
+
+def test_prefill_sink_plus_window():
+    cache = SinkKVCache.init(1, 2, 8, num_sink=4, window_size=8,
+                             dtype=jnp.float32)
+    cache = cache.prefill(*token_kv(1, 2, 10, 8))
+    assert int(cache.sink_len) == 4 and int(cache.window_len) == 6
+    assert int(cache.write_pos) == 6
+    np.testing.assert_array_equal(chrono(cache), np.arange(10))
+
+
+def test_prefill_overflow_keeps_last_window():
+    cache = SinkKVCache.init(1, 2, 8, num_sink=4, window_size=8,
+                             dtype=jnp.float32)
+    cache = cache.prefill(*token_kv(1, 2, 20, 8))
+    assert int(cache.window_len) == 8 and int(cache.write_pos) == 0
+    np.testing.assert_array_equal(
+        chrono(cache), [0, 1, 2, 3, 12, 13, 14, 15, 16, 17, 18, 19])
+
+
+def test_decode_eviction_and_linearization():
+    cache = SinkKVCache.init(1, 2, 8, num_sink=2, window_size=4,
+                             dtype=jnp.float32)
+    cache = cache.prefill(*token_kv(1, 2, 5, 8))  # sink {0,1}, window {2,3,4}
+    for t in range(5, 11):
+        cache = cache.append(*token_kv(1, 2, 1, 8, start=t))
+    # window keeps the last 4 tokens {7,8,9,10}; sinks survive
+    assert int(cache.get_seq_length()) == 6
+    assert int(cache.seen) == 11
+    np.testing.assert_array_equal(chrono(cache), [0, 1, 7, 8, 9, 10])
+
+
+def test_append_many_matches_sequential():
+    c1 = SinkKVCache.init(1, 1, 4, num_sink=2, window_size=4,
+                          dtype=jnp.float32)
+    c2 = c1
+    c1 = c1.prefill(*token_kv(1, 1, 3, 4))
+    c2 = c2.prefill(*token_kv(1, 1, 3, 4))
+    k, v = token_kv(1, 1, 3, 4, start=3)
+    c1 = c1.append_many(k, v)
+    for i in range(3):
+        c2 = c2.append(k[:, :, i:i + 1], v[:, :, i:i + 1])
+    np.testing.assert_array_equal(chrono(c1), chrono(c2))
+
+
+def test_beam_reorder():
+    cache = SinkKVCache.init(3, 1, 4, num_sink=1, window_size=4,
+                             dtype=jnp.float32)
+    k = jnp.arange(3, dtype=jnp.float32).reshape(3, 1, 1, 1) * jnp.ones(
+        (3, 1, 2, 4))
+    cache = cache.prefill(k, k)
+    cache = cache.reorder(jnp.array([2, 0, 1]))
+    np.testing.assert_array_equal(
+        np.asarray(cache.k[:, 0, 0, 0]), [2.0, 0.0, 1.0])
+
+
+def test_update_dispatch():
+    cache = SinkKVCache.init(1, 1, 4, num_sink=2, window_size=4,
+                             dtype=jnp.float32)
+    cache = cache.update(*token_kv(1, 1, 6, 4))       # prefill
+    cache = cache.update(*token_kv(1, 1, 1, 4, start=6))  # decode
+    assert int(cache.seen) == 7
+
+
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_quantized_roundtrip(quant):
+    cache = SinkKVCache.init(1, 2, 64, num_sink=4, window_size=128,
+                             dtype=jnp.bfloat16, quant=quant)
+    key = jax.random.PRNGKey(0)
+    k = jax.random.normal(key, (1, 2, 40, 64))
+    v = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 40, 64))
+    cache = cache.prefill(k, v)
+    lk, lv = cache.linearized_kv(head_dim=64)
+    assert lk.shape == (1, 2, 40, 64)
+    err = float(jnp.max(jnp.abs(lk - k)))
+    budget = 0.03 if quant == "int8" else 0.2  # e4m3: 3 mantissa bits
+    assert err < budget, err
+
+
+def test_jit_append_scan():
+    """The cache must work inside lax.scan (decode loop)."""
+    cache = SinkKVCache.init(1, 1, 8, num_sink=2, window_size=4,
+                             dtype=jnp.float32)
+    cache = cache.prefill(*token_kv(1, 1, 3, 8))
+
+    def step(cache, t):
+        k = jnp.full((1, 1, 1, 8), t, jnp.float32)
+        return cache.append(k, k + 0.5), t
+
+    cache, _ = jax.lax.scan(step, cache, jnp.arange(3, 9, dtype=jnp.float32))
+    assert int(cache.seen) == 9
+    np.testing.assert_array_equal(chrono(cache), [0, 1, 5, 6, 7, 8])

@@ -1,0 +1,151 @@
+"""Decode kernel tests: parity vs oracle, GQA, s_aux, cache composition.
+
+Mirrors /root/reference/tests/test_decode_kernel.py (plain-KV decode parity,
+s_aux absorption, GQA, non-aligned N_kv) and the composition tests of
+/root/reference/tests/test_inference.py:116-199 (multi-step decode with
+eviction equals the last row of full eager attention) — plus quantized-cache
+accuracy, which the reference does not have.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sink_attention_tpu.cache import SinkKVCache
+from sink_attention_tpu.ops import (
+    eager_sink_attention,
+    sink_decode_attention,
+    sink_decode_attention_cached,
+)
+
+
+def fp32_tol():
+    return 5e-3 if jax.default_backend() == "tpu" else 1e-5
+
+
+@pytest.mark.parametrize("cfg", [
+    # (B, H_q, H_kv, N_kv, D, use_aux)
+    (1, 4, 4, 128, 64, False),
+    (1, 4, 4, 300, 64, True),     # non-block-aligned N_kv
+    (2, 8, 2, 512, 128, True),    # GQA 4:1
+    (1, 8, 1, 256, 128, True),    # MQA
+    (1, 8, 2, 448, 80, True),     # head_dim 80
+])
+def test_decode_matches_oracle(cfg):
+    B, H_q, H_kv, N_kv, D, use_aux = cfg
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (B, H_q, 1, D))
+    k = jax.random.normal(ks[1], (B, H_kv, N_kv, D))
+    v = jax.random.normal(ks[2], (B, H_kv, N_kv, D))
+    s_aux = jax.random.normal(ks[3], (H_q,)) if use_aux else None
+
+    out = sink_decode_attention(q, k, v, s_aux=s_aux)
+    # oracle: all KV attended == causal last row with full window
+    ref = eager_sink_attention(q, k, v, num_sink=0, window_size=N_kv,
+                               s_aux=s_aux, q_offset=N_kv - 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=fp32_tol(), rtol=1e-3)
+
+
+def test_s_aux_zero_vs_none():
+    """s_aux=0 must differ from s_aux=None (it adds exp(0)=1 to the
+    denominator) — reference test_decode_kernel.py behavior."""
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (1, 2, 1, 64))
+    k = jax.random.normal(ks[1], (1, 2, 64, 64))
+    v = jax.random.normal(ks[2], (1, 2, 64, 64))
+    a = sink_decode_attention(q, k, v, s_aux=None)
+    b = sink_decode_attention(q, k, v, s_aux=jnp.zeros((2,)))
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-4
+    # and large negative s_aux ~ None
+    c = sink_decode_attention(q, k, v, s_aux=jnp.full((2,), -30.0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               atol=5e-4 if jax.default_backend() == "tpu"
+                               else 1e-6)
+
+
+def test_decode_absorption_monotonic():
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (1, 2, 1, 64))
+    k = jax.random.normal(ks[1], (1, 2, 128, 64))
+    v = jax.random.normal(ks[2], (1, 2, 128, 64))
+    norms = [float(jnp.linalg.norm(
+        sink_decode_attention(q, k, v, s_aux=jnp.full((2,), a))))
+        for a in (-5.0, 0.0, 5.0)]
+    assert norms[0] > norms[1] > norms[2]
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "fp8"])
+def test_multistep_decode_with_eviction(quant):
+    """Cache + decode kernel == last row of full eager attention, per step,
+    across eviction wraps (the strongest inference-path test; reference
+    test_inference.py:116-199)."""
+    B, H_q, H_kv, D = 1, 4, 2, 64
+    num_sink, window = 4, 32
+    prefill_len, steps = 40, 24
+    total = prefill_len + steps
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q_all = jax.random.normal(ks[0], (B, H_q, total, D))
+    k_all = jax.random.normal(ks[1], (B, H_kv, total, D))
+    v_all = jax.random.normal(ks[2], (B, H_kv, total, D))
+    s_aux = jax.random.normal(jax.random.PRNGKey(4), (H_q,))
+
+    dtype = jnp.float32 if quant is None else jnp.bfloat16
+    cache = SinkKVCache.init(B, H_kv, D, num_sink=num_sink,
+                             window_size=window, dtype=dtype, quant=quant)
+    cache = cache.prefill(k_all[:, :, :prefill_len].astype(dtype),
+                          v_all[:, :, :prefill_len].astype(dtype))
+
+    errs = []
+    for t in range(prefill_len, total):
+        cache = cache.append(k_all[:, :, t:t + 1].astype(dtype),
+                             v_all[:, :, t:t + 1].astype(dtype))
+        out = sink_decode_attention_cached(
+            q_all[:, :, t:t + 1].astype(dtype), cache, s_aux=s_aux)
+        ref = eager_sink_attention(
+            q_all[:, :, t:t + 1], k_all[:, :, :t + 1], v_all[:, :, :t + 1],
+            num_sink=num_sink, window_size=window, s_aux=s_aux, q_offset=t)
+        errs.append(float(jnp.max(jnp.abs(
+            out.astype(jnp.float32) - ref.astype(jnp.float32)))))
+    worst = max(errs)
+    budget = {None: fp32_tol(), "int8": 0.05, "fp8": 0.12}[quant]
+    assert worst < budget, (worst, budget)
+
+
+def test_cached_decode_window_not_full():
+    """Decode immediately after a short prefill (window not yet full)."""
+    B, H_q, H_kv, D = 1, 2, 2, 64
+    cache = SinkKVCache.init(B, H_kv, D, num_sink=2, window_size=64,
+                             dtype=jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    k_all = jax.random.normal(ks[0], (B, H_kv, 9, D))
+    v_all = jax.random.normal(ks[1], (B, H_kv, 9, D))
+    q = jax.random.normal(ks[2], (B, H_q, 1, D))
+    cache = cache.prefill(k_all[:, :, :8], v_all[:, :, :8])
+    cache = cache.append(k_all[:, :, 8:9], v_all[:, :, 8:9])
+    out = sink_decode_attention_cached(q, cache)
+    ref = eager_sink_attention(q, k_all, v_all, num_sink=2, window_size=64,
+                               q_offset=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=fp32_tol(), rtol=1e-3)
+
+
+def test_jitted_decode_step():
+    """Full decode step (append + attention) must be jittable."""
+    B, H_q, H_kv, D = 1, 4, 2, 64
+    cache = SinkKVCache.init(B, H_kv, D, num_sink=4, window_size=32,
+                             dtype=jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    cache = cache.prefill(jax.random.normal(ks[0], (B, H_kv, 16, D)),
+                          jax.random.normal(ks[1], (B, H_kv, 16, D)))
+
+    @jax.jit
+    def step(cache, q, k, v):
+        cache = cache.append(k, v)
+        return cache, sink_decode_attention_cached(q, cache)
+
+    q = jax.random.normal(ks[2], (B, H_q, 1, D))
+    cache2, out = step(cache, q, q[:, :H_kv], q[:, :H_kv])
+    assert out.shape == (B, H_q, 1, D)
+    assert int(cache2.seen) == 17
