@@ -1,0 +1,26 @@
+from .config import ModelConfig
+from .model import (
+    init_params,
+    forward_prefill,
+    forward_decode,
+    make_caches,
+    rms_norm,
+    rope_cos_sin,
+    apply_rope,
+    moe,
+)
+from .hf_loader import params_from_hf_state_dict, load_hf_checkpoint
+
+__all__ = [
+    "ModelConfig",
+    "init_params",
+    "forward_prefill",
+    "forward_decode",
+    "make_caches",
+    "rms_norm",
+    "rope_cos_sin",
+    "apply_rope",
+    "moe",
+    "params_from_hf_state_dict",
+    "load_hf_checkpoint",
+]

@@ -1,0 +1,112 @@
+"""Model configuration for gpt-oss-style sink-attention models."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """gpt-oss-family configuration (matches HF GptOssConfig semantics).
+
+    The flagship target is gpt-oss-20b: hidden 2880, 24 layers, 64/8 heads,
+    head_dim 64, 32 experts top-4, sliding_window 128, alternating
+    sliding/full layers, yarn rope. ``tiny()`` is the test-size variant.
+    """
+
+    vocab_size: int = 201088
+    hidden_size: int = 2880
+    num_layers: int = 24
+    num_heads: int = 64
+    num_kv_heads: int = 8
+    head_dim: int = 64
+    intermediate_size: int = 2880
+    num_experts: int = 32
+    experts_per_tok: int = 4
+    sliding_window: int = 128
+    layer_types: Optional[Tuple[str, ...]] = None  # default alternating
+    rope_theta: float = 150000.0
+    rope_scaling: Optional[dict] = None  # e.g. {"rope_type": "yarn", ...}
+    rms_norm_eps: float = 1e-5
+    attention_bias: bool = True
+    max_position_embeddings: int = 131072
+    # Cache-eviction sinks (StreamingLLM-style leading tokens). gpt-oss uses
+    # 0 (its "sink" is the learnable s_aux logit); the reference kernel's
+    # num_sink>0 mode is fully supported for streaming inference.
+    num_sink_tokens: int = 0
+
+    def __post_init__(self):
+        if self.layer_types is None:
+            object.__setattr__(
+                self, "layer_types",
+                tuple("sliding_attention" if i % 2 == 0 else "full_attention"
+                      for i in range(self.num_layers)))
+        assert len(self.layer_types) == self.num_layers
+        assert self.num_heads % self.num_kv_heads == 0
+
+    def window_for_layer(self, layer_idx: int, n_ctx: int) -> int:
+        """Attention window for a layer given total context length."""
+        if self.layer_types[layer_idx] == "sliding_attention":
+            return self.sliding_window
+        return max(n_ctx, 1)
+
+    @classmethod
+    def tiny(cls, **kw) -> "ModelConfig":
+        defaults = dict(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=16, intermediate_size=32, num_experts=4,
+            experts_per_tok=2, sliding_window=16, rope_theta=10000.0,
+            rope_scaling=None, max_position_embeddings=2048)
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def gpt_oss_20b(cls, **kw) -> "ModelConfig":
+        defaults = dict(
+            vocab_size=201088, hidden_size=2880, num_layers=24, num_heads=64,
+            num_kv_heads=8, head_dim=64, intermediate_size=2880,
+            num_experts=32, experts_per_tok=4, sliding_window=128,
+            rope_theta=150000.0,
+            rope_scaling={"rope_type": "yarn", "factor": 32.0,
+                          "beta_fast": 32.0, "beta_slow": 1.0,
+                          "original_max_position_embeddings": 4096})
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def gpt_oss_120b(cls, **kw) -> "ModelConfig":
+        defaults = dict(
+            vocab_size=201088, hidden_size=2880, num_layers=36, num_heads=64,
+            num_kv_heads=8, head_dim=64, intermediate_size=2880,
+            num_experts=128, experts_per_tok=4, sliding_window=128,
+            rope_theta=150000.0,
+            rope_scaling={"rope_type": "yarn", "factor": 32.0,
+                          "beta_fast": 32.0, "beta_slow": 1.0,
+                          "original_max_position_embeddings": 4096})
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def from_hf_config(cls, hf_cfg: Any) -> "ModelConfig":
+        """Build from a transformers GptOssConfig (object or dict)."""
+        get = (hf_cfg.get if isinstance(hf_cfg, dict)
+               else lambda k, d=None: getattr(hf_cfg, k, d))
+        return cls(
+            vocab_size=get("vocab_size"),
+            hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            head_dim=get("head_dim"),
+            intermediate_size=get("intermediate_size"),
+            num_experts=get("num_local_experts"),
+            experts_per_tok=get("num_experts_per_tok"),
+            sliding_window=get("sliding_window"),
+            layer_types=tuple(get("layer_types")),
+            rope_theta=get("rope_theta"),
+            rope_scaling=get("rope_scaling"),
+            rms_norm_eps=get("rms_norm_eps"),
+            attention_bias=get("attention_bias", True),
+            max_position_embeddings=get("max_position_embeddings"),
+        )

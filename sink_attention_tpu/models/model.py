@@ -1,0 +1,323 @@
+"""gpt-oss-style causal LM built on the sink-attention Pallas kernels.
+
+A functional (pure-pytree) implementation: parameters are nested dicts of
+arrays, so they shard with ``jax.sharding.NamedSharding`` trees and map 1:1
+from HF checkpoints. Semantics match HF ``GptOssForCausalLM`` (verified by
+tests/test_model.py against a randomly-initialized HF model):
+
+* attention sinks as a learnable per-head extra softmax logit (our s_aux)
+* alternating sliding/full attention layers
+* MoE with top-k-then-softmax routing and interleaved gate/up experts with
+  the gpt-oss clamp activation: glu = gate * sigmoid(1.702 * gate),
+  out = (up + 1) * glu, gate clamped to (-inf, 7], up to [-7, 7]
+* chunk-convention RoPE with optional YaRN scaling
+
+This replaces the reference's monkey-patch integration layer
+(/root/reference/sink_attention/verl_patch.py, generate_patch.py) with an
+owned model: prefill runs the Pallas prefill kernel; decode runs the Pallas
+cached-decode kernel over the functional sink KV cache.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cache import SinkKVCache
+from ..ops import sink_flash_attention, sink_decode_attention_cached
+from .config import ModelConfig
+
+ALPHA = 1.702  # gpt-oss glu activation alpha
+LIMIT = 7.0    # gpt-oss activation clamp
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: ModelConfig, key: jax.Array,
+                dtype: Any = jnp.float32) -> dict:
+    """Random-init parameter pytree (normal(0, 0.02), biases/sinks zero)."""
+    H, D = cfg.hidden_size, cfg.head_dim
+    HQ, HKV = cfg.num_heads, cfg.num_kv_heads
+    I, E = cfg.intermediate_size, cfg.num_experts
+    keys = iter(jax.random.split(key, 8 + 12 * cfg.num_layers))
+
+    def w(shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32) *
+                scale).astype(dtype)
+
+    def zeros(shape):
+        return jnp.zeros(shape, dtype)
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "attn": {
+                "wq": w((H, HQ * D)), "bq": zeros((HQ * D,)),
+                "wk": w((H, HKV * D)), "bk": zeros((HKV * D,)),
+                "wv": w((H, HKV * D)), "bv": zeros((HKV * D,)),
+                "wo": w((HQ * D, H)), "bo": zeros((H,)),
+                "sinks": w((HQ,), scale=1.0),
+            },
+            "mlp": {
+                "router_w": w((H, E)), "router_b": zeros((E,)),
+                "gate_up": w((E, H, 2 * I)), "gate_up_b": zeros((E, 2 * I)),
+                "down": w((E, I, H)), "down_b": zeros((E, H)),
+            },
+            "ln1": jnp.ones((H,), dtype),
+            "ln2": jnp.ones((H,), dtype),
+        })
+    return {
+        "embed": w((cfg.vocab_size, H)),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dtype),
+        "lm_head": w((H, cfg.vocab_size)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = weight.astype(jnp.float32) * (xf * jax.lax.rsqrt(var + eps))
+    return y.astype(x.dtype)
+
+
+def _yarn_inv_freq(cfg: ModelConfig) -> Tuple[jax.Array, float]:
+    """YaRN rope (matches transformers ROPE_INIT_FUNCTIONS['yarn'])."""
+    rs = cfg.rope_scaling
+    D = cfg.head_dim
+    base = cfg.rope_theta
+    factor = rs.get("factor", 1.0)
+    orig_max = rs.get("original_max_position_embeddings",
+                      cfg.max_position_embeddings)
+    beta_fast = rs.get("beta_fast", 32.0)
+    beta_slow = rs.get("beta_slow", 1.0)
+    mscale = rs.get("attention_factor")
+    if mscale is None:
+        mscale = 0.1 * math.log(factor) + 1.0 if factor > 1 else 1.0
+
+    pos_freqs = base ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D)
+    inv_freq_extrapolation = 1.0 / pos_freqs
+    inv_freq_interpolation = 1.0 / (factor * pos_freqs)
+
+    def find_dim(num_rotations):
+        return (D * math.log(orig_max / (num_rotations * 2 * math.pi))
+                ) / (2 * math.log(base))
+
+    low = max(math.floor(find_dim(beta_fast)), 0)
+    high = min(math.ceil(find_dim(beta_slow)), D - 1)
+    if low == high:
+        high += 0.001
+    ramp = (jnp.arange(D // 2, dtype=jnp.float32) - low) / (high - low)
+    ramp = jnp.clip(ramp, 0.0, 1.0)
+    inv_freq_mask = 1.0 - ramp
+    inv_freq = (inv_freq_interpolation * (1 - inv_freq_mask) +
+                inv_freq_extrapolation * inv_freq_mask)
+    return inv_freq, float(mscale)
+
+
+def rope_cos_sin(cfg: ModelConfig, positions: jax.Array):
+    """cos/sin [.., D/2] fp32 (chunk convention, HF GptOss parity)."""
+    if cfg.rope_scaling and cfg.rope_scaling.get("rope_type") == "yarn":
+        inv_freq, scaling = _yarn_inv_freq(cfg)
+    else:
+        D = cfg.head_dim
+        inv_freq = 1.0 / (cfg.rope_theta ** (
+            jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+        scaling = 1.0
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(freqs) * scaling, jnp.sin(freqs) * scaling
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, H, N, D]; cos/sin: [N, D/2] or [B, N, D/2]."""
+    if cos.ndim == 2:
+        cos = cos[None, None]
+        sin = sin[None, None]
+    else:
+        cos = cos[:, None]
+        sin = sin[:, None]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _qkv(p: dict, cfg: ModelConfig, x: jax.Array):
+    """x: [B, N, H] -> q [B,HQ,N,D], k/v [B,HKV,N,D]."""
+    B, N, _ = x.shape
+    D = cfg.head_dim
+
+    def proj(w, b, heads):
+        y = x @ w.astype(x.dtype)
+        if cfg.attention_bias:
+            y = y + b.astype(x.dtype)
+        return y.reshape(B, N, heads, D).transpose(0, 2, 1, 3)
+
+    q = proj(p["wq"], p["bq"], cfg.num_heads)
+    k = proj(p["wk"], p["bk"], cfg.num_kv_heads)
+    v = proj(p["wv"], p["bv"], cfg.num_kv_heads)
+    return q, k, v
+
+
+def _out_proj(p: dict, cfg: ModelConfig, attn: jax.Array) -> jax.Array:
+    """attn: [B, HQ, N, D] -> [B, N, H]."""
+    B, HQ, N, D = attn.shape
+    y = attn.transpose(0, 2, 1, 3).reshape(B, N, HQ * D)
+    y = y @ p["wo"].astype(y.dtype)
+    if cfg.attention_bias:
+        y = y + p["bo"].astype(y.dtype)
+    return y
+
+
+def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """gpt-oss MoE block. x: [B, N, H] -> [B, N, H].
+
+    Dense-all-experts formulation (exact; every token runs every expert and
+    results are combined with the sparse routing weights). TODO(perf): a
+    sort/group-matmul Pallas path for large expert counts.
+    """
+    B, N, H = x.shape
+    T = B * N
+    xt = x.reshape(T, H)
+    logits = (xt @ p["router_w"].astype(xt.dtype) +
+              p["router_b"].astype(xt.dtype)).astype(jnp.float32)
+    vals, idx = jax.lax.top_k(logits, cfg.experts_per_tok)
+    weights = jax.nn.softmax(vals, axis=-1)
+    routing = jnp.zeros((T, cfg.num_experts), jnp.float32)
+    routing = routing.at[jnp.arange(T)[:, None], idx].set(weights)
+
+    gate_up = jnp.einsum("th,ehi->eti", xt, p["gate_up"].astype(xt.dtype))
+    gate_up = gate_up + p["gate_up_b"].astype(xt.dtype)[:, None, :]
+    gate = gate_up[..., ::2]
+    up = gate_up[..., 1::2]
+    gate = jnp.minimum(gate, LIMIT)
+    up = jnp.clip(up, -LIMIT, LIMIT)
+    glu = gate * jax.nn.sigmoid(gate * ALPHA)
+    act = (up + 1.0) * glu
+    out = jnp.einsum("eti,eih->eth", act, p["down"].astype(act.dtype))
+    out = out + p["down_b"].astype(out.dtype)[:, None, :]
+    out = jnp.einsum("eth,te->th", out, routing.astype(out.dtype))
+    return out.reshape(B, N, H).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+def forward_prefill(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    caches: Optional[List[SinkKVCache]] = None,
+    positions: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+):
+    """Full-sequence forward. input_ids: [B, N] -> logits [B, N, V].
+
+    If ``caches`` is given (one SinkKVCache per layer), each layer's KV is
+    stored for subsequent decode, and the updated caches are returned.
+    """
+    B, N = input_ids.shape
+    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    if positions is None:
+        positions = jnp.arange(N)
+    cos, sin = rope_cos_sin(cfg, positions)
+
+    new_caches = [] if caches is not None else None
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp["attn"], cfg, h)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        window = cfg.window_for_layer(li, N)
+        attn = sink_flash_attention(
+            q, k, v, num_sink=cfg.num_sink_tokens, window_size=window,
+            s_aux=lp["attn"]["sinks"].astype(jnp.float32),
+            interpret=interpret)
+        x = x + _out_proj(lp["attn"], cfg, attn)
+        if caches is not None:
+            new_caches.append(caches[li].prefill(k, v))
+        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + moe(lp["mlp"], cfg, h)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = x @ params["lm_head"].astype(x.dtype)
+    return logits, new_caches
+
+
+def forward_decode(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    caches: List[SinkKVCache],
+    position: jax.Array,
+    interpret: Optional[bool] = None,
+):
+    """Single-token decode step. input_ids: [B, 1] -> logits [B, 1, V].
+
+    Appends this token's KV to each layer cache and attends over the rolling
+    sink cache with the Pallas decode kernel.
+    """
+    B = input_ids.shape[0]
+    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    pos = jnp.broadcast_to(jnp.asarray(position).reshape(()), (1,))
+    cos, sin = rope_cos_sin(cfg, pos)
+
+    new_caches = []
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp["attn"], cfg, h)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = caches[li].append(k, v)
+        attn = sink_decode_attention_cached(
+            q, cache, s_aux=lp["attn"]["sinks"].astype(jnp.float32),
+            interpret=interpret)
+        new_caches.append(cache)
+        x = x + _out_proj(lp["attn"], cfg, attn)
+        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + moe(lp["mlp"], cfg, h)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = x @ params["lm_head"].astype(x.dtype)
+    return logits, new_caches
+
+
+def make_caches(cfg: ModelConfig, batch: int, max_len: int,
+                dtype: Any = jnp.bfloat16, quant: Optional[str] = None,
+                streaming: bool = False) -> List[SinkKVCache]:
+    """Per-layer caches for serving.
+
+    Sliding layers get a rolling window of ``sliding_window``; full layers
+    keep everything up to ``max_len`` — unless ``streaming`` is set, in which
+    case full layers also roll (StreamingLLM mode: num_sink_tokens sinks +
+    window, accepting the approximation on full layers).
+    """
+    caches = []
+    for li in range(cfg.num_layers):
+        sliding = cfg.layer_types[li] == "sliding_attention"
+        if sliding:
+            ns, w = cfg.num_sink_tokens, cfg.sliding_window
+        elif streaming:
+            ns = max(cfg.num_sink_tokens, 4)
+            w = max(cfg.sliding_window, 4096)
+        else:
+            ns, w = cfg.num_sink_tokens, max_len
+        caches.append(SinkKVCache.init(
+            batch, cfg.num_kv_heads, cfg.head_dim, num_sink=ns,
+            window_size=w, dtype=dtype, quant=quant))
+    return caches
