@@ -1,0 +1,65 @@
+"""Headline benchmark: prefill sink-attention throughput per chip.
+
+Prints ONE JSON line:
+  metric  — prefill sink-flash-attention useful TFLOP/s on this chip at the
+            reference's headline config (B=1, GQA 32/8, D=128, num_sink=4,
+            window=4096, N=8192, bf16 — /root/reference/README.md:197, 217)
+  value   — achieved useful TFLOP/s (useful = 4*B*H*D*sum_i |attended(i)|)
+  vs_baseline — OUR model-flops-utilization / REFERENCE MFU, i.e. per-chip
+            silicon efficiency relative to the reference kernel on its own
+            hardware. Reference: 2.09 ms on H200 (990 bf16 TFLOP/s peak)
+            -> 197.4 TF/s -> 19.9% MFU. >1.0 means this kernel uses its chip
+            better than the reference's Triton kernel uses an H200.
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from sink_attention_tpu.ops import sink_flash_attention
+    from sink_attention_tpu.utils import (
+        H200_PEAK_BF16,
+        V5E_PEAK_BF16,
+        sink_attention_flops,
+        time_chained,
+    )
+
+    B, H_q, H_kv, D = 1, 32, 8, 128
+    num_sink, window, N = 4, 4096, 8192
+    REF_MS = 2.09  # reference README.md:217 (H200)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H_q, N, D), dtype=jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, H_kv, N, D), dtype=jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, H_kv, N, D), dtype=jnp.bfloat16)
+
+    def op(q):
+        return sink_flash_attention(q, k, v, num_sink=num_sink,
+                                    window_size=window)
+
+    dt = time_chained(op, q, iters_lo=4, iters_hi=20, reps=3)
+    flops = sink_attention_flops(B, H_q, N, D, num_sink, window)
+    tflops = flops / dt / 1e12
+
+    platform = jax.devices()[0].platform
+    peak = V5E_PEAK_BF16  # bench target chip
+    our_mfu = flops / dt / peak
+    ref_mfu = (flops / (REF_MS * 1e-3)) / H200_PEAK_BF16
+    print(f"[bench] {platform}: N={N} latency={dt*1e3:.3f} ms "
+          f"MFU={our_mfu*100:.1f}% (ref {ref_mfu*100:.1f}% on H200)",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "prefill_sink_attn_tflops_per_chip",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(our_mfu / ref_mfu, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,7 @@ cached-decode kernel over the functional sink KV cache.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, List, Optional, Tuple
 
@@ -225,17 +226,23 @@ def forward_prefill(
     caches: Optional[List[SinkKVCache]] = None,
     positions: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
+    attn_impl=None,
 ):
     """Full-sequence forward. input_ids: [B, N] -> logits [B, N, V].
 
     If ``caches`` is given (one SinkKVCache per layer), each layer's KV is
     stored for subsequent decode, and the updated caches are returned.
+    ``attn_impl(q, k, v, num_sink, window, s_aux)`` overrides the attention
+    op (e.g. a shard_map'd Ulysses island for sharded training).
     """
     B, N = input_ids.shape
     x = params["embed"][input_ids].astype(params["embed"].dtype)
     if positions is None:
         positions = jnp.arange(N)
     cos, sin = rope_cos_sin(cfg, positions)
+    if attn_impl is None:
+        attn_impl = functools.partial(sink_flash_attention,
+                                      interpret=interpret)
 
     new_caches = [] if caches is not None else None
     for li, lp in enumerate(params["layers"]):
@@ -244,10 +251,9 @@ def forward_prefill(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         window = cfg.window_for_layer(li, N)
-        attn = sink_flash_attention(
+        attn = attn_impl(
             q, k, v, num_sink=cfg.num_sink_tokens, window_size=window,
-            s_aux=lp["attn"]["sinks"].astype(jnp.float32),
-            interpret=interpret)
+            s_aux=lp["attn"]["sinks"].astype(jnp.float32))
         x = x + _out_proj(lp["attn"], cfg, attn)
         if caches is not None:
             new_caches.append(caches[li].prefill(k, v))

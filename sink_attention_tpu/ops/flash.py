@@ -54,6 +54,11 @@ NEG_INF = float("-inf")
 LANES = 128
 SUBLANES = 8  # fp32 sublane tile; row-vectors (lse, delta) are stored as
 # [*, SUBLANES, N] broadcast tiles so their blocks satisfy TPU (8, 128) tiling.
+INT32_MAX = 2**31 - 1
+# The scalar-prefetch "offsets" operand is [q_offset, kv_offset, col_hi]:
+# global position offsets for the query/key chunks plus an exclusive upper
+# bound on attended global columns (used by sequence-parallel partials to
+# partition the valid set without double counting; INT32_MAX = no bound).
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -86,43 +91,64 @@ def _fwd_kv_step(qi, step, q_off, kv_off, *, bm, bn, nsb, num_sink, window,
     """KV-block (local index) + validity for forward/dQ step ``step``.
 
     Mirrors the reference's two-range iteration (sink_flash_attention.py
-    :151-180) in global coordinates, shifted into the local KV buffer.
+    :151-180), generalized to arbitrary (traced, possibly unaligned, possibly
+    negative) q/kv position offsets by working in *local column* coordinates.
+
+    Phase structure: ``nsb`` static sink steps cover the local blocks holding
+    global columns [0, num_sink); the remaining steps cover the sliding
+    window's local blocks, starting after the sink blocks (each visited block
+    applies the full combined mask, so any block is visited at most once).
     """
-    kv_off_b = kv_off // bn
     in_sink = step < nsb
+    n_kv = n_kv_blocks * bn  # local padded column count
 
-    # --- sink phase: global block ``step`` ---
-    sink_lblock = step - kv_off_b
-    sink_valid = (step * bn < num_sink) & (sink_lblock >= 0) & (
-        sink_lblock < n_kv_blocks)
+    # --- sink phase: local blocks containing global cols [0, num_sink) ---
+    if nsb > 0:
+        sink_lo = jnp.clip(-kv_off, 0, n_kv)           # local col of global 0
+        sink_hi = jnp.clip(num_sink - kv_off, 0, n_kv)  # exclusive
+        sink_b0 = sink_lo // bn
+        sink_b1 = -(-sink_hi // bn)                    # cdiv, 0 if empty
+        sink_block = sink_b0 + step
+        sink_valid = sink_block < sink_b1
+    else:
+        sink_b1 = jnp.int32(0)
+        sink_block = jnp.int32(0)
+        sink_valid = jnp.bool_(False)
 
-    # --- window phase ---
+    # --- window phase: local blocks of [win_gstart, causal_end), skipping
+    # blocks already visited by the sink phase ---
     j = step - nsb
     g_row_start = q_off + qi * bm
-    win_gstart = jnp.maximum(g_row_start - window + 1, num_sink)
-    win_bstart = jnp.maximum(win_gstart // bn, nsb)
-    win_bstart = jnp.maximum(win_bstart, kv_off_b)
-    causal_gend = jnp.minimum(g_row_start + bm, q_off + n_q)
-    win_bend = jnp.minimum((causal_gend - 1) // bn + 1, kv_off_b + n_kv_blocks)
-    win_gblock = win_bstart + j
-    win_lblock = win_gblock - kv_off_b
-    win_valid = (win_gblock < win_bend) & (win_lblock >= 0) & (
-        win_lblock < n_kv_blocks) & (causal_gend > win_gstart)
+    win_glo = jnp.maximum(g_row_start - window + 1, num_sink)
+    win_ghi = jnp.minimum(g_row_start + bm, q_off + n_q)  # causal, exclusive
+    win_lo = jnp.clip(win_glo - kv_off, 0, n_kv)
+    win_hi = jnp.clip(win_ghi - kv_off, 0, n_kv)
+    win_b0 = jnp.maximum(win_lo // bn, sink_b1)
+    win_b1 = -(-win_hi // bn)
+    win_block = win_b0 + j
+    win_valid = (win_block < win_b1) & (win_ghi > win_glo)
 
-    block = jnp.where(in_sink, sink_lblock, win_lblock)
+    block = jnp.where(in_sink, sink_block, win_block)
     valid = jnp.where(in_sink, sink_valid, win_valid)
+    valid &= (block >= 0) & (block < n_kv_blocks)
     return jnp.clip(block, 0, n_kv_blocks - 1), valid
 
 
-def _block_mask(rows_g, cols_g, num_sink: int, window: int):
+def _block_mask(rows_g, cols_g, num_sink: int, window: int, col_hi=None):
     """The unified sink+window+causal mask on global positions.
 
     Reference: _build_sink_window_mask, sink_flash_attention.py:30-39.
+    The extra ``cols_g >= 0`` guard makes negative kv_offset safe (SP halo
+    buffers whose leading slots precede the sequence start); ``col_hi``
+    optionally clips attended columns from above (SP partial partitioning).
     """
     causal = cols_g <= rows_g
     sink = cols_g < num_sink
     win = cols_g >= rows_g - window + 1
-    return causal & (sink | win)
+    mask = causal & (sink | win) & (cols_g >= 0)
+    if col_hi is not None:
+        mask &= cols_g < col_hi
+    return mask
 
 
 # ---------------------------------------------------------------------------
@@ -155,29 +181,36 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
         qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
         window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
 
-    @pl.when(valid)
-    def _body():
-        q = q_ref[0]  # [bm, d]
-        k = k_ref[0]  # [bn, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+    # Interior-block fast path: if every (row, col) in the tile is valid,
+    # skip mask construction and the NaN guards entirely (saves ~6 VPU ops
+    # over the [bm, bn] tile per step).
+    r0 = qi * bm + q_off
+    c0 = block * bn + kv_off
+    all_causal = c0 + bn - 1 <= r0
+    all_window = c0 >= r0 + bm - 1 - window + 1
+    all_sink = c0 + bn - 1 < jnp.int32(num_sink)
+    in_bounds = ((qi * bm + bm <= n_q) & (block * bn + bn <= n_kv) &
+                 (c0 >= 0) & (c0 + bn - 1 < off_ref[2]))
+    full_block = all_causal & (all_window | all_sink) & in_bounds
 
-        rows_l = qi * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
-        cols_l = block * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window)
-        mask &= (rows_l < n_q) & (cols_l < n_kv)
-        s = jnp.where(mask, s, NEG_INF)
-
+    def softmax_update(s, guarded):
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
         row_max = jnp.max(s, axis=1, keepdims=True)
-        has_valid = row_max > NEG_INF
-        m_new = jnp.where(has_valid, jnp.maximum(m_prev, row_max), m_prev)
-        m_safe = jnp.where(m_new > NEG_INF, m_new, 0.0)
-        alpha = jnp.where(m_prev > NEG_INF, jnp.exp(m_prev - m_safe), 0.0)
+        if guarded:
+            has_valid = row_max > NEG_INF
+            m_new = jnp.where(has_valid, jnp.maximum(m_prev, row_max),
+                              m_prev)
+            m_safe = jnp.where(m_new > NEG_INF, m_new, 0.0)
+            alpha = jnp.where(m_prev > NEG_INF, jnp.exp(m_prev - m_safe),
+                              0.0)
+        else:
+            # row_max finite; m_prev may be -inf (first visited block):
+            # maximum() and exp(-inf - finite) = 0 are both well-defined.
+            m_new = jnp.maximum(m_prev, row_max)
+            m_safe = m_new
+            alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_safe)  # masked lanes: exp(-inf) = 0
-
         l_ref[...] = jnp.broadcast_to(
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -186,6 +219,26 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(valid & full_block)
+    def _body_fast():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        softmax_update(s, guarded=False)
+
+    @pl.when(valid & jnp.logical_not(full_block))
+    def _body_masked():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        rows_l = qi * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        cols_l = block * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window,
+                           off_ref[2])
+        mask &= (rows_l < n_q) & (cols_l < n_kv)
+        s = jnp.where(mask, s, NEG_INF)
+        softmax_update(s, guarded=True)
 
     @pl.when(step == steps - 1)
     def _finalize():
@@ -232,7 +285,8 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32) * scale
         rows_l = qi * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
         cols_l = block * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window)
+        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window,
+                           off_ref[2])
         mask &= (rows_l < n_q) & (cols_l < n_kv)
 
         p = jnp.exp(s - lse[:, None])
@@ -313,7 +367,8 @@ def _dkdv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32) * scale  # [bm, bn]
         rows_l = q_block * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
         cols_l = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window)
+        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window,
+                           off_ref[2])
         mask &= (rows_l < n_q) & (cols_l < n_kv)
 
         p = jnp.exp(s - lse[:, None])
@@ -343,6 +398,16 @@ def _dkdv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 # ---------------------------------------------------------------------------
 
 
+def _norm_offsets(offsets):
+    """Normalize to an int32 [3] array [q_offset, kv_offset, col_hi]."""
+    offsets = jnp.asarray(offsets, jnp.int32)
+    if offsets.shape[0] == 2:
+        offsets = jnp.concatenate(
+            [offsets, jnp.array([INT32_MAX], jnp.int32)])
+    assert offsets.shape == (3,), offsets.shape
+    return offsets
+
+
 def _pad_nd(x, n_to: int, d_to: int):
     n_pad, d_pad = n_to - x.shape[-2], d_to - x.shape[-1]
     if n_pad or d_pad:
@@ -364,7 +429,20 @@ def _prep(q, k, v, bm, bn):
     return qp, kp, vp, (B, H_q, H_kv, N_q, N_kv, D, nq_pad, nk_pad, d_pad)
 
 
-def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret):
+def _step_counts(num_sink, window, bm, bn, n_kv_blocks, aligned):
+    """Static per-q-block step counts (sink blocks + window blocks).
+
+    Unaligned offsets can straddle one extra block in each phase.
+    """
+    extra = 0 if aligned else 1
+    nsb = (min(_cdiv(num_sink, bn) + extra, n_kv_blocks)
+           if num_sink > 0 else 0)
+    mwb = min(_cdiv(window + bm, bn) + extra, n_kv_blocks)
+    return nsb, max(nsb + mwb, 1)
+
+
+def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
+              aligned=False):
     if interpret is None:
         interpret = _default_interpret()
     qp, kp, vp, dims = _prep(q, k, v, bm, bn)
@@ -374,9 +452,7 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret):
 
     n_q_blocks = nq_pad // bm
     n_kv_blocks = nk_pad // bn
-    nsb = min(_cdiv(num_sink, bn), n_kv_blocks) if num_sink > 0 else 0
-    mwb = min(_cdiv(window + bm, bn), n_kv_blocks)
-    steps = max(nsb + mwb, 1)
+    nsb, steps = _step_counts(num_sink, window, bm, bn, n_kv_blocks, aligned)
 
     use_s_aux = s_aux is not None
     if use_s_aux:
@@ -384,7 +460,7 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret):
     else:
         aux = jnp.zeros((1, 1), jnp.float32)
 
-    offsets = jnp.asarray(offsets, jnp.int32)
+    offsets = _norm_offsets(offsets)
 
     def kv_bh(bh):
         return (bh // H_q) * H_kv + (bh % H_q) // group
@@ -442,7 +518,7 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret):
 
 
 def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
-              interpret):
+              interpret, aligned=False):
     if interpret is None:
         interpret = _default_interpret()
     qp, kp, vp, dims = _prep(q, k, v, bm, bn)
@@ -464,12 +540,10 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
     delta_p = pack_rowvec(delta)
     lse_p = pack_rowvec(lse)
 
-    offsets = jnp.asarray(offsets, jnp.int32)
+    offsets = _norm_offsets(offsets)
     n_q_blocks = nq_pad // bm
     n_kv_blocks = nk_pad // bn
-    nsb = min(_cdiv(num_sink, bn), n_kv_blocks) if num_sink > 0 else 0
-    mwb = min(_cdiv(window + bm, bn), n_kv_blocks)
-    steps = max(nsb + mwb, 1)
+    nsb, steps = _step_counts(num_sink, window, bm, bn, n_kv_blocks, aligned)
 
     def kv_bh(bh):
         return (bh // H_q) * H_kv + (bh % H_q) // group
@@ -586,7 +660,8 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
         return pl.pallas_call(kern, **kw)(
             offsets, qp, kp, vp, dop, lse_p, delta_p)
 
-    q_steps_win = max(1, min(_cdiv(window + bn + bm, bm), n_q_blocks))
+    q_steps_win = max(1, min(_cdiv(window + bn + bm, bm) +
+                             (0 if aligned else 1), n_q_blocks))
     dk_sink, dv_sink = run_dkdv(0, nsb, max(n_q_blocks, 1), sink_pass=True)
     dk_win, dv_win = run_dkdv(nsb, n_kv_blocks, q_steps_win, sink_pass=False)
 
@@ -612,34 +687,41 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _sink_attn(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _sink_attn(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
+               aligned):
     o, _ = _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                     interpret)
+                     interpret, aligned)
     return o
 
 
 def _sink_attn_fwd(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                   interpret):
+                   interpret, aligned):
     o, lse = _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                       interpret)
+                       interpret, aligned)
     return o, (q, k, v, s_aux, offsets, o, lse)
 
 
-def _sink_attn_bwd(num_sink, window, bm, bn, interpret, res, g):
+def _sink_attn_bwd(num_sink, window, bm, bn, interpret, aligned, res, g):
     q, k, v, s_aux, offsets, o, lse = res
     dq, dk, dv, ds_aux = _bwd_impl(
         q, k, v, s_aux, offsets, o, lse, g, num_sink, window, bm, bn,
-        interpret)
+        interpret, aligned)
     return dq, dk, dv, ds_aux, None
 
 
 _sink_attn.defvjp(_sink_attn_fwd, _sink_attn_bwd)
 
 
-def _block_sizes(n_q: int, n_kv: int, block_q, block_kv):
-    bm = block_q or 128
-    bn = block_kv or 128
+def _block_sizes(n_q: int, n_kv: int, block_q, block_kv, d: int = 128):
+    """Default tile policy (swept on v5e: 1024x1024 -> 27% MFU at the
+    headline config vs 5.7% at 128x128). Shrinks for small N and large D
+    (VMEM: the fp32 scores tile is bm*bn*4 bytes)."""
+    cap = 1024 if d <= 128 else 512
+    if _default_interpret():
+        cap = 256  # interpreter cost scales with tile padding; keep small
+    bm = block_q or min(cap, _round_up(n_q, LANES))
+    bn = block_kv or min(cap, _round_up(n_kv, LANES))
     return bm, bn
 
 
@@ -663,11 +745,12 @@ def sink_flash_attention(q, k, v, num_sink: int = 4, window_size: int = 512,
     Returns:
         [B, H_q, N_q, D] attention output in q.dtype.
     """
-    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv)
-    assert kv_offset % bn == 0, "kv_offset must be a multiple of block_kv"
+    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv,
+                          q.shape[3])
+    aligned = (q_offset % bn == 0 and kv_offset % bn == 0 and bm % bn == 0)
     offsets = jnp.array([q_offset, kv_offset], jnp.int32)
     return _sink_attn(q, k, v, s_aux, offsets, num_sink, window_size, bm, bn,
-                      interpret)
+                      interpret, aligned)
 
 
 def sink_flash_attention_with_lse(q, k, v, num_sink: int = 4,
@@ -677,10 +760,12 @@ def sink_flash_attention_with_lse(q, k, v, num_sink: int = 4,
                                   block_kv: int | None = None,
                                   interpret: bool | None = None):
     """Forward-only variant returning (out, lse) for partial merging."""
-    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv)
+    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv,
+                          q.shape[3])
+    aligned = (q_offset % bn == 0 and kv_offset % bn == 0 and bm % bn == 0)
     offsets = jnp.array([q_offset, kv_offset], jnp.int32)
     return _fwd_impl(q, k, v, s_aux, offsets, num_sink, window_size, bm, bn,
-                     interpret)
+                     interpret, aligned)
 
 
 def sink_flash_attention_chunk(q, k, v, offsets, num_sink: int = 4,
@@ -694,9 +779,10 @@ def sink_flash_attention_chunk(q, k, v, offsets, num_sink: int = 4,
     attention / chunked prefill). s_aux must be folded in at merge time so it
     is counted exactly once across chunks.
     """
-    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv)
+    bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv,
+                          q.shape[3])
     return _fwd_impl(q, k, v, None, offsets, num_sink, window_size, bm, bn,
-                     interpret)
+                     interpret, aligned=False)
 
 
 def merge_partials(outs, lses, s_aux=None):
@@ -711,7 +797,7 @@ def merge_partials(outs, lses, s_aux=None):
     lse_stack = jnp.stack([l.astype(jnp.float32) for l in lses])  # [S,B,H,N]
     if s_aux is not None:
         aux = jnp.broadcast_to(
-            s_aux.astype(jnp.float32)[None, None, :, None],
+            s_aux.astype(jnp.float32)[None, :, None],  # -> [B, H, N]
             lse_stack.shape[1:])
         lse_stack = jnp.concatenate([lse_stack, aux[None]], axis=0)
     m = jnp.max(lse_stack, axis=0)

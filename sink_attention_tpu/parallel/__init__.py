@@ -1,0 +1,25 @@
+from .mesh import make_mesh, replicated, shard, DATA_AXIS, SEQ_AXIS, MODEL_AXIS
+from .sp import (
+    broadcast_sink_kv,
+    reduce_sink_grads,
+    local_position_offset,
+    sp_sink_flash_attention,
+)
+from .ulysses import ulysses_sink_flash_attention, slice_s_aux_for_rank
+from .ring import ring_sink_flash_attention
+
+__all__ = [
+    "make_mesh",
+    "replicated",
+    "shard",
+    "DATA_AXIS",
+    "SEQ_AXIS",
+    "MODEL_AXIS",
+    "broadcast_sink_kv",
+    "reduce_sink_grads",
+    "local_position_offset",
+    "sp_sink_flash_attention",
+    "ulysses_sink_flash_attention",
+    "slice_s_aux_for_rank",
+    "ring_sink_flash_attention",
+]

@@ -1,0 +1,131 @@
+"""Sharded training step: DP x SP(Ulysses) x TP/EP over a named mesh.
+
+The reference delegates all training parallelism to verl/FSDP
+(SURVEY.md §2.3); here the sharded step is owned. Strategy:
+
+* **DP**  — batch over the 'data' axis (jit auto-partitions; grads psum).
+* **TP**  — attention heads and MoE experts over the 'model' axis:
+  q/k/v projections shard their output dim, o_proj its input dim, experts
+  shard the expert dim (expert parallelism), routers stay replicated —
+  XLA inserts the all-reduces.
+* **SP**  — the attention op runs in a shard_map island over
+  ('data', 'model', 'seq'): heads are TP-local, the sequence axis is
+  resharded head<->seq by Ulysses all_to_alls inside the island
+  (parallel/ulysses.py), so the Pallas kernel always sees full sequences.
+
+Pipeline parallelism is not implemented yet (tracked for a later round).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import ModelConfig
+from ..models.model import forward_prefill
+from .ulysses import ulysses_sink_flash_attention
+
+__all__ = ["param_shardings", "make_sharded_attn", "make_train_step",
+           "cross_entropy_loss"]
+
+
+def param_shardings(cfg: ModelConfig, mesh: Mesh, model_axis: str = "model"):
+    """NamedSharding pytree for the model parameters (TP/EP layout)."""
+    m = model_axis
+
+    def s(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    layer = {
+        "attn": {
+            "wq": s(None, m), "bq": s(m),
+            "wk": s(None, m), "bk": s(m),
+            "wv": s(None, m), "bv": s(m),
+            "wo": s(m, None), "bo": s(),
+            "sinks": s(m),
+        },
+        "mlp": {
+            "router_w": s(), "router_b": s(),
+            "gate_up": s(m, None, None), "gate_up_b": s(m, None),
+            "down": s(m, None, None), "down_b": s(m, None),
+        },
+        "ln1": s(),
+        "ln2": s(),
+    }
+    return {
+        "embed": s(),
+        "layers": [layer] * cfg.num_layers,
+        "final_norm": s(),
+        "lm_head": s(None, m),
+    }
+
+
+def make_sharded_attn(mesh: Mesh, data_axis: str = "data",
+                      seq_axis: str = "seq", model_axis: str = "model",
+                      interpret: Optional[bool] = None):
+    """Attention impl for ``forward_prefill``: a shard_map Ulysses island.
+
+    Expects q/k/v logically [B, H, N, D] with B on data, H on model, N on
+    seq. Inside the island each device holds [B/dp, H/tp, N/sp, D]; Ulysses
+    all_to_alls over 'seq' reshard to full sequences before the kernel.
+    """
+    qkv_spec = P(data_axis, model_axis, seq_axis, None)
+    aux_spec = P(model_axis)
+
+    def island(q, k, v, s_aux, *, num_sink, window_size):
+        if mesh.shape[seq_axis] == 1:
+            from ..ops.flash import sink_flash_attention
+            return sink_flash_attention(
+                q, k, v, num_sink=num_sink, window_size=window_size,
+                s_aux=s_aux, interpret=interpret)
+        return ulysses_sink_flash_attention(
+            q, k, v, num_sink=num_sink, window_size=window_size,
+            s_aux=s_aux, axis_name=seq_axis, interpret=interpret)
+
+    def attn(q, k, v, *, num_sink, window_size, s_aux):
+        q = jax.lax.with_sharding_constraint(q, NamedSharding(mesh, qkv_spec))
+        fn = jax.shard_map(
+            functools.partial(island, num_sink=num_sink,
+                              window_size=window_size),
+            mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, aux_spec),
+            out_specs=qkv_spec,
+            check_vma=False)
+        return fn(q, k, v, s_aux)
+
+    return attn
+
+
+def cross_entropy_loss(params, cfg: ModelConfig, batch, attn_impl=None):
+    """Next-token CE loss. batch: int32 [B, N+1]."""
+    inputs, targets = batch[:, :-1], batch[:, 1:]
+    logits, _ = forward_prefill(params, cfg, inputs, attn_impl=attn_impl)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return -jnp.mean(ll)
+
+
+def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
+                    interpret: Optional[bool] = None):
+    """Build a jitted (params, opt_state, batch) -> (params, opt_state, loss)
+    training step with DP/SP/TP/EP shardings over ``mesh``."""
+    attn_impl = make_sharded_attn(mesh, interpret=interpret)
+    batch_sharding = NamedSharding(mesh, P("data", None))
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(cross_entropy_loss)(
+            params, cfg, batch, attn_impl=attn_impl)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    p_shardings = param_shardings(cfg, mesh)
+    return jax.jit(
+        step,
+        in_shardings=(p_shardings, None, batch_sharding),
+        out_shardings=(p_shardings, None, None),
+    ), p_shardings

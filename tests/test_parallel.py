@@ -1,0 +1,164 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The reference has NO distributed tests at all (SURVEY.md §4: sp_utils.py is
+untested). Here every parallel path is validated against the single-device
+oracle on a real (virtual) mesh via shard_map.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+
+from sink_attention_tpu.ops import eager_sink_attention, sink_flash_attention
+from sink_attention_tpu.parallel import (
+    broadcast_sink_kv,
+    make_mesh,
+    ring_sink_flash_attention,
+    sp_sink_flash_attention,
+    ulysses_sink_flash_attention,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs >= 4 devices (virtual CPU mesh)")
+
+
+def make_qkv(key, B, H_q, H_kv, N, D):
+    ks = jax.random.split(key, 3)
+    return (jax.random.normal(ks[0], (B, H_q, N, D)),
+            jax.random.normal(ks[1], (B, H_kv, N, D)),
+            jax.random.normal(ks[2], (B, H_kv, N, D)))
+
+
+def seq_mesh(n):
+    return make_mesh({"seq": n}, devices=jax.devices()[:n])
+
+
+def test_broadcast_sink_kv():
+    mesh = seq_mesh(4)
+    B, H, N, D = 1, 2, 64, 8
+    k = jnp.arange(B * H * N * D, dtype=jnp.float32).reshape(B, H, N, D)
+    v = k + 0.5
+
+    out_k, out_v = jax.jit(jax.shard_map(
+        lambda k, v: broadcast_sink_kv(k, v, 4, "seq"),
+        mesh=mesh, in_specs=(P(None, None, "seq", None),) * 2,
+        out_specs=P(None, None, None, "seq"), check_vma=False))(k, v)
+    # every shard must hold shard 0's first 4 positions -> concat over the
+    # out axis gives 4 copies
+    expect = np.asarray(k[:, :, :4])
+    got = np.asarray(out_k).reshape(B, H, 4, 4, D)
+    for i in range(4):
+        np.testing.assert_array_equal(got[:, :, :, i], expect)
+
+
+@pytest.mark.parametrize("num_sink,window", [(4, 128), (0, 128), (16, 192)])
+def test_sp_matches_single_device(num_sink, window):
+    n_dev = 4
+    mesh = seq_mesh(n_dev)
+    B, H_q, H_kv, N, D = 1, 4, 2, 1024, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(0), B, H_q, H_kv, N, D)
+    s_aux = jax.random.normal(jax.random.PRNGKey(1), (H_q,))
+
+    out = jax.jit(jax.shard_map(
+        lambda q, k, v: sp_sink_flash_attention(
+            q, k, v, num_sink=num_sink, window_size=window, s_aux=s_aux,
+            axis_name="seq"),
+        mesh=mesh, in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False))(q, k, v)
+
+    ref = eager_sink_attention(q, k, v, num_sink=num_sink,
+                               window_size=window, s_aux=s_aux)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-3)
+
+
+def test_ulysses_matches_single_device():
+    n_dev = 2
+    mesh = seq_mesh(n_dev)
+    B, H_q, H_kv, N, D = 1, 4, 2, 512, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(2), B, H_q, H_kv, N, D)
+    s_aux = jax.random.normal(jax.random.PRNGKey(3), (H_q,))
+
+    out = jax.jit(jax.shard_map(
+        lambda q, k, v: ulysses_sink_flash_attention(
+            q, k, v, num_sink=4, window_size=128, s_aux=s_aux,
+            axis_name="seq"),
+        mesh=mesh, in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False))(q, k, v)
+
+    ref = eager_sink_attention(q, k, v, num_sink=4, window_size=128,
+                               s_aux=s_aux)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-3)
+
+
+def test_ulysses_gradients():
+    """Ulysses SP is the differentiable SP path — grads must match the
+    single-device kernel's grads."""
+    n_dev = 2
+    mesh = seq_mesh(n_dev)
+    B, H_q, H_kv, N, D = 1, 4, 2, 256, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(4), B, H_q, H_kv, N, D)
+    s_aux = jax.random.normal(jax.random.PRNGKey(5), (H_q,))
+
+    sp_fn = jax.shard_map(
+        lambda q, k, v, aux: ulysses_sink_flash_attention(
+            q, k, v, num_sink=4, window_size=64, s_aux=aux,
+            axis_name="seq"),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3 + (P(),),
+        out_specs=P(None, None, "seq", None), check_vma=False)
+
+    def loss_sp(q, k, v, aux):
+        return jnp.sum(sp_fn(q, k, v, aux) ** 2)
+
+    def loss_ref(q, k, v, aux):
+        return jnp.sum(sink_flash_attention(
+            q, k, v, num_sink=4, window_size=64, s_aux=aux) ** 2)
+
+    g_sp = jax.jit(jax.grad(loss_sp, (0, 1, 2, 3)))(q, k, v, s_aux)
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, s_aux)
+    for name, a, b in zip("q k v aux".split(), g_sp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("num_sink,window", [(4, 96), (4, 4096), (0, 256)])
+def test_ring_matches_single_device(num_sink, window):
+    n_dev = 4
+    mesh = seq_mesh(n_dev)
+    B, H_q, H_kv, N, D = 1, 4, 2, 1024, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(6), B, H_q, H_kv, N, D)
+    s_aux = jax.random.normal(jax.random.PRNGKey(7), (H_q,))
+
+    out = jax.jit(jax.shard_map(
+        lambda q, k, v: ring_sink_flash_attention(
+            q, k, v, num_sink=num_sink, window_size=window, s_aux=s_aux,
+            axis_name="seq"),
+        mesh=mesh, in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False))(q, k, v)
+
+    ref = eager_sink_attention(q, k, v, num_sink=num_sink,
+                               window_size=window, s_aux=s_aux)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-3)
+
+
+def test_ring_window_spans_many_shards():
+    """window larger than a shard: ring must still be exact (this is the
+    case halo-SP cannot handle)."""
+    n_dev = 8
+    mesh = seq_mesh(8)
+    B, H, N, D = 1, 2, 1024, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(8), B, H, H, N, D)
+    out = jax.jit(jax.shard_map(
+        lambda q, k, v: ring_sink_flash_attention(
+            q, k, v, num_sink=4, window_size=512, axis_name="seq"),
+        mesh=mesh, in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False))(q, k, v)
+    ref = eager_sink_attention(q, k, v, num_sink=4, window_size=512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-3)
