@@ -1,0 +1,120 @@
+"""Extended performance suite (TPU): the README-table benchmarks.
+
+Mirrors the reference's benchmark harnesses (tests/benchmark.py:126-267 and
+tests/run_inference_benchmarks.py) on TPU: prefill latency across N (vs the
+reference's published H200 numbers), training fwd+bwd, decode-step latency
+(cache append + attention) across window sizes and KV quantizations.
+
+Run on hardware: python scripts/bench_suite.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sink_attention_tpu.cache import SinkKVCache
+from sink_attention_tpu.ops import (
+    sink_decode_attention_cached,
+    sink_flash_attention,
+)
+from sink_attention_tpu.utils import (
+    V5E_PEAK_BF16,
+    sink_attention_flops,
+    time_chained,
+)
+
+B, HQ, HKV, D, NS, W = 1, 32, 8, 128, 4, 4096
+REF = {4096: 0.80, 8192: 2.09, 16384: 4.67, 32768: 9.85}  # H200 ms
+REF_TRAIN = {4096: 2.81, 8192: 7.28, 16384: 16.39}        # H200 fwd+bwd ms
+
+
+def qkv(N, dtype=jnp.bfloat16):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return (jax.random.normal(ks[0], (B, HQ, N, D), dtype=dtype),
+            jax.random.normal(ks[1], (B, HKV, N, D), dtype=dtype),
+            jax.random.normal(ks[2], (B, HKV, N, D), dtype=dtype))
+
+
+def prefill_table():
+    print("\n=== Prefill forward (bf16, GQA 32/8, D=128, sink=4, W=4096) ===")
+    print(f"{'N':>7} {'ms':>8} {'TFLOP/s':>9} {'MFU%':>6} {'ref H200 ms':>12}")
+    for N in [4096, 8192, 16384, 32768]:
+        q, k, v = qkv(N)
+        dt = time_chained(
+            lambda q: sink_flash_attention(q, k, v, NS, W), q)
+        fl = sink_attention_flops(B, HQ, N, D, NS, W)
+        ref = REF.get(N)
+        print(f"{N:>7} {dt*1e3:>8.2f} {fl/dt/1e12:>9.1f} "
+              f"{fl/dt/V5E_PEAK_BF16*100:>6.1f} "
+              f"{ref if ref else '-':>12}")
+
+
+def train_table():
+    print("\n=== Training fwd+bwd (bf16) ===")
+    print(f"{'N':>7} {'ms':>8} {'ref H200 ms':>12}")
+    for N in [8192, 16384]:
+        q, k, v = qkv(N)
+        aux = jax.random.normal(jax.random.PRNGKey(3), (HQ,))
+
+        def step(q):
+            def loss(q):
+                o = sink_flash_attention(q, k, v, NS, W, s_aux=aux)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            return jax.grad(loss)(q).astype(q.dtype)
+
+        dt = time_chained(step, q, iters_lo=2, iters_hi=8)
+        print(f"{N:>7} {dt*1e3:>8.2f} {REF_TRAIN.get(N, '-'):>12}")
+
+
+def decode_table():
+    print("\n=== Decode step: cache append + attention (B=1, GQA 32/8, "
+          "D=128) ===")
+    print(f"{'W':>6} {'kv':>6} {'ms/step':>9} {'ref H200 ms':>12}")
+    for W_ in [4096]:
+        for quant in [None, "int8", "fp8"]:
+            dtype = jnp.bfloat16
+            cache = SinkKVCache.init(B, HKV, D, num_sink=NS, window_size=W_,
+                                     dtype=dtype, quant=quant)
+            ks = jax.random.split(jax.random.PRNGKey(1), 3)
+            cache = cache.prefill(
+                jax.random.normal(ks[0], (B, HKV, W_ + NS, D), dtype),
+                jax.random.normal(ks[1], (B, HKV, W_ + NS, D), dtype))
+            aux = jax.random.normal(ks[2], (HQ,))
+
+            @jax.jit
+            def steps_fn(q0, cache, n):
+                def body(carry, _):
+                    q, cache = carry
+                    kv = q[:, :HKV]
+                    cache = cache.append(kv, kv)
+                    o = sink_decode_attention_cached(q, cache, s_aux=aux)
+                    return (o, cache), ()
+                (o, cache), _ = jax.lax.scan(body, (q0, cache), None,
+                                             length=n)
+                return jnp.sum(o.astype(jnp.float32))
+
+            q0 = jax.random.normal(ks[2], (B, HQ, 1, D), dtype)
+            import functools
+            f8 = jax.jit(functools.partial(steps_fn, n=8))
+            f40 = jax.jit(functools.partial(steps_fn, n=40))
+            float(f8(q0, cache)); float(f40(q0, cache))
+            t0 = time.perf_counter(); float(f8(q0, cache))
+            t1 = time.perf_counter(); float(f40(q0, cache))
+            t2 = time.perf_counter()
+            dt = ((t2 - t1) - (t1 - t0)) / 32
+            ref = {1024: 0.056 + 0.08, 4096: 0.201}.get(W_, "-")
+            print(f"{W_:>6} {str(quant or 'bf16'):>6} {dt*1e3:>9.3f} "
+                  f"{ref:>12}")
+
+
+if __name__ == "__main__":
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    prefill_table()
+    train_table()
+    decode_table()

@@ -1,0 +1,144 @@
+"""Numerical accuracy tables: kernel vs fp32 eager oracle.
+
+Mirrors /root/reference/tests/numerical_accuracy.py (the source of the
+reference README accuracy tables, README.md:259-277): forward error over a
+config grid and gradient error over a smaller grid, plus decode-path
+accuracy for bf16 / int8 / fp8 KV caches (which the reference lacks).
+
+Run: python scripts/numerical_accuracy.py [--tpu]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import os
+import sys
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--tpu", action="store_true",
+                    help="run on TPU (default: CPU interpret)")
+args = parser.parse_args()
+if not args.tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+if not args.tpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from sink_attention_tpu.cache import SinkKVCache  # noqa: E402
+from sink_attention_tpu.ops import (  # noqa: E402
+    eager_sink_attention,
+    sink_decode_attention_cached,
+    sink_flash_attention,
+)
+
+
+def cos_sim(a, b):
+    a, b = np.asarray(a, np.float64).ravel(), np.asarray(b,
+                                                         np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+
+
+def fwd_table():
+    print("\n=== Forward accuracy (kernel vs fp32 eager) ===")
+    print(f"{'config':<46} {'dtype':<9} {'max_err':>10} {'cos_sim':>9}")
+    configs = [
+        # (B, Hq, Hkv, N, D, sink, window, dtype)
+        (1, 8, 8, 256, 64, 4, 128, jnp.float32),
+        (1, 8, 8, 1024, 64, 4, 256, jnp.float32),
+        (1, 8, 2, 512, 128, 4, 128, jnp.float32),
+        (1, 8, 8, 512, 64, 0, 128, jnp.float32),   # pure window
+        (1, 8, 8, 512, 64, 16, 128, jnp.float32),  # 16 sinks
+        (1, 8, 8, 512, 64, 4, 1, jnp.float32),     # window=1
+        (1, 8, 8, 512, 64, 4, 128, jnp.bfloat16),
+        (1, 8, 2, 512, 128, 4, 4096, jnp.bfloat16),  # full causal
+        (1, 8, 2, 512, 80, 4, 128, jnp.bfloat16),  # head_dim 80 (gpt-oss)
+        (2, 8, 1, 384, 64, 4, 96, jnp.bfloat16),   # MQA, batch
+    ]
+    for (B, Hq, Hkv, N, D, ns, W, dtype) in configs:
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        q = jax.random.normal(ks[0], (B, Hq, N, D)).astype(dtype)
+        k = jax.random.normal(ks[1], (B, Hkv, N, D)).astype(dtype)
+        v = jax.random.normal(ks[2], (B, Hkv, N, D)).astype(dtype)
+        aux = jax.random.normal(ks[3], (Hq,))
+        out = sink_flash_attention(q, k, v, ns, W, s_aux=aux)
+        ref = eager_sink_attention(q, k, v, ns, W, s_aux=aux)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) -
+                                    ref.astype(jnp.float32))))
+        name = f"B{B} H{Hq}/{Hkv} N{N} D{D} sink{ns} W{W}"
+        print(f"{name:<46} {jnp.dtype(dtype).name:<9} {err:>10.2e} "
+              f"{cos_sim(out, ref):>9.5f}")
+
+
+def grad_table():
+    print("\n=== Gradient accuracy (kernel vs fp32 eager autodiff) ===")
+    print(f"{'config':<40} {'dq':>10} {'dk':>10} {'dv':>10} {'ds_aux':>10}")
+    configs = [
+        (1, 4, 4, 256, 64, 4, 128),
+        (1, 8, 2, 256, 64, 4, 64),
+        (1, 4, 4, 256, 64, 0, 128),
+        (1, 4, 2, 192, 80, 4, 96),
+    ]
+    for (B, Hq, Hkv, N, D, ns, W) in configs:
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        q = jax.random.normal(ks[0], (B, Hq, N, D))
+        k = jax.random.normal(ks[1], (B, Hkv, N, D))
+        v = jax.random.normal(ks[2], (B, Hkv, N, D))
+        aux = jax.random.normal(ks[3], (Hq,))
+
+        def loss(fn):
+            def inner(q, k, v, aux):
+                return jnp.sum(fn(q, k, v, ns, W, s_aux=aux) ** 2)
+            return jax.grad(inner, (0, 1, 2, 3))
+
+        gk = loss(sink_flash_attention)(q, k, v, aux)
+        gr = loss(eager_sink_attention)(q, k, v, aux)
+        errs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(gk, gr)]
+        name = f"B{B} H{Hq}/{Hkv} N{N} D{D} sink{ns} W{W}"
+        print(f"{name:<40} " + " ".join(f"{e:>10.2e}" for e in errs))
+
+
+def decode_table():
+    print("\n=== Decode accuracy over the rolling cache "
+          "(multi-step, with eviction) ===")
+    print(f"{'kv storage':<12} {'worst max_err':>14}")
+    B, Hq, Hkv, D, ns, W = 1, 8, 2, 64, 4, 64
+    prefill, steps = 80, 40
+    total = prefill + steps
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q_all = jax.random.normal(ks[0], (B, Hq, total, D))
+    k_all = jax.random.normal(ks[1], (B, Hkv, total, D))
+    v_all = jax.random.normal(ks[2], (B, Hkv, total, D))
+    aux = jax.random.normal(ks[3], (Hq,))
+    for quant in [None, "int8", "fp8"]:
+        dtype = jnp.float32 if quant is None else jnp.bfloat16
+        cache = SinkKVCache.init(B, Hkv, D, num_sink=ns, window_size=W,
+                                 dtype=dtype, quant=quant)
+        cache = cache.prefill(k_all[:, :, :prefill].astype(dtype),
+                              v_all[:, :, :prefill].astype(dtype))
+        worst = 0.0
+        for t in range(prefill, total):
+            cache = cache.append(k_all[:, :, t:t + 1].astype(dtype),
+                                 v_all[:, :, t:t + 1].astype(dtype))
+            out = sink_decode_attention_cached(
+                q_all[:, :, t:t + 1].astype(dtype), cache, s_aux=aux)
+            ref = eager_sink_attention(
+                q_all[:, :, t:t + 1], k_all[:, :, :t + 1],
+                v_all[:, :, :t + 1], ns, W, s_aux=aux, q_offset=t)
+            worst = max(worst, float(jnp.max(jnp.abs(
+                out.astype(jnp.float32) - ref.astype(jnp.float32)))))
+        print(f"{str(quant or dtype.__name__):<12} {worst:>14.2e}")
+
+
+if __name__ == "__main__":
+    print(f"backend: {jax.default_backend()}")
+    fwd_table()
+    grad_table()
+    decode_table()
