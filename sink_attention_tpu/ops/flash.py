@@ -51,6 +51,8 @@ __all__ = [
 ]
 
 NEG_INF = float("-inf")
+LOG2E = 1.4426950408889634  # softmax runs in the exp2 domain (VPU-native)
+LN2 = 0.6931471805599453
 LANES = 128
 SUBLANES = 8  # fp32 sublane tile; row-vectors (lse, delta) are stored as
 # [*, SUBLANES, N] broadcast tiles so their blocks satisfy TPU (8, 128) tiling.
@@ -158,7 +160,8 @@ def _block_mask(rows_g, cols_g, num_sink: int, window: int, col_hi=None):
 
 def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale, num_sink, window, n_q, n_kv,
-                bm, bn, nsb, steps, use_s_aux):
+                bm, bn, nsb, steps, use_s_aux, sink_tile=False, ks_ref=None,
+                vs_ref=None):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     step = pl.program_id(2)
@@ -167,33 +170,15 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
     n_kv_blocks = _cdiv(n_kv, bn)
     aux_val = aux_ref[bh % aux_ref.shape[0], 0] if use_s_aux else None
 
-    @pl.when(step == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        if use_s_aux:
-            m_ref[...] = jnp.full_like(m_ref, aux_val)
-            l_ref[...] = jnp.ones_like(l_ref)
-        else:
-            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-            l_ref[...] = jnp.zeros_like(l_ref)
+    def q_scaled():
+        # Pre-scale Q at load ([bm, D] VPU work) instead of scaling scores
+        # ([bm, bn] work) — reference sink_flash_attention.py:131-132 — and
+        # fold in log2(e) so the online softmax runs on VPU-native exp2
+        # (saves the multiply hidden inside every exp lowering). The kernel
+        # is VPU-bound at large tiles, so every whole-tile op counts.
+        return (q_ref[0] * (scale * LOG2E)).astype(q_ref.dtype)
 
-    block, valid = _fwd_kv_step(
-        qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
-        window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
-
-    # Interior-block fast path: if every (row, col) in the tile is valid,
-    # skip mask construction and the NaN guards entirely (saves ~6 VPU ops
-    # over the [bm, bn] tile per step).
-    r0 = qi * bm + q_off
-    c0 = block * bn + kv_off
-    all_causal = c0 + bn - 1 <= r0
-    all_window = c0 >= r0 + bm - 1 - window + 1
-    all_sink = c0 + bn - 1 < jnp.int32(num_sink)
-    in_bounds = ((qi * bm + bm <= n_q) & (block * bn + bn <= n_kv) &
-                 (c0 >= 0) & (c0 + bn - 1 < off_ref[2]))
-    full_block = all_causal & (all_window | all_sink) & in_bounds
-
-    def softmax_update(s, guarded):
+    def softmax_update(s, v, guarded):
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
         row_max = jnp.max(s, axis=1, keepdims=True)
@@ -202,50 +187,121 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
             m_new = jnp.where(has_valid, jnp.maximum(m_prev, row_max),
                               m_prev)
             m_safe = jnp.where(m_new > NEG_INF, m_new, 0.0)
-            alpha = jnp.where(m_prev > NEG_INF, jnp.exp(m_prev - m_safe),
-                              0.0)
+            alpha = jnp.where(m_prev > NEG_INF,
+                              jnp.exp2(m_prev - m_safe), 0.0)
         else:
             # row_max finite; m_prev may be -inf (first visited block):
             # maximum() and exp(-inf - finite) = 0 are both well-defined.
             m_new = jnp.maximum(m_prev, row_max)
             m_safe = m_new
-            alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_safe)  # masked lanes: exp(-inf) = 0
+            alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_safe)  # masked lanes: exp2(-inf) = 0
         l_ref[...] = jnp.broadcast_to(
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        v = v_ref[0]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
-    @pl.when(valid & full_block)
-    def _body_fast():
-        s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        softmax_update(s, guarded=False)
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if use_s_aux:
+            m_ref[...] = jnp.full_like(m_ref, aux_val * LOG2E)
+            l_ref[...] = jnp.ones_like(l_ref)
+        else:
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+        if sink_tile:
+            # Sink tokens as one thin [bm, SINK_LANES] tile instead of a
+            # full bn-wide KV phase (num_sink is tiny — typically 4 — so a
+            # bn-wide phase wastes a whole MXU step per Q block).
+            sl = ks_ref.shape[1]
+            s = jax.lax.dot_general(
+                q_scaled(), ks_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rows_g = (qi * bm + q_off +
+                      jax.lax.broadcasted_iota(jnp.int32, (bm, sl), 0))
+            cols_g = jax.lax.broadcasted_iota(jnp.int32, (bm, sl), 1)
+            mask = ((cols_g < min(num_sink, n_kv)) & (cols_g <= rows_g) &
+                    (cols_g < off_ref[2]))
+            s = jnp.where(mask, s, NEG_INF)
+            softmax_update(s, vs_ref[0], guarded=True)
 
-    @pl.when(valid & jnp.logical_not(full_block))
-    def _body_masked():
-        s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        rows_l = qi * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
-        cols_l = block * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window,
-                           off_ref[2])
-        mask &= (rows_l < n_q) & (cols_l < n_kv)
-        s = jnp.where(mask, s, NEG_INF)
-        softmax_update(s, guarded=True)
+    block, valid = _fwd_kv_step(
+        qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
+        window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
+
+    # Per-step scalar classification of which mask terms are active, so the
+    # common tiles run specialized cheap bodies:
+    #   fast    — interior block, no mask at all, unguarded softmax
+    #   causal  — diagonal block, single (col <= row) compare
+    #   window  — left window boundary, single window-start compare
+    #   general — everything else (sequence edges, col_hi, sink overlap)
+    r0 = qi * bm + q_off
+    c0 = block * bn + kv_off
+    needs_causal = c0 + bn - 1 > r0
+    needs_win = (c0 < r0 + bm - 1 - window + 1) & jnp.logical_not(
+        c0 + bn - 1 < jnp.int32(num_sink))
+    needs_sink_excl = (c0 < jnp.int32(num_sink)) if sink_tile else (
+        jnp.bool_(False))
+    oob = ((qi * bm + bm > n_q) | (block * bn + bn > n_kv) |
+           (c0 < 0) | (c0 + bn - 1 >= off_ref[2]))
+    general = oob | needs_sink_excl | (needs_causal & needs_win)
+    causal_only = needs_causal & jnp.logical_not(general)
+    window_only = needs_win & jnp.logical_not(needs_causal) & (
+        jnp.logical_not(general))
+    fast = jnp.logical_not(needs_causal | needs_win | general)
+
+    def scores():
+        return jax.lax.dot_general(
+            q_scaled(), k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def iotas():
+        rows_g = (qi * bm + q_off +
+                  jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0))
+        cols_g = (block * bn + kv_off +
+                  jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1))
+        return rows_g, cols_g
+
+    @pl.when(valid & fast)
+    def _body_fast():
+        softmax_update(scores(), v_ref[0], guarded=False)
+
+    @pl.when(valid & causal_only)
+    def _body_causal():
+        rows_g, cols_g = iotas()
+        s = jnp.where(cols_g <= rows_g, scores(), NEG_INF)
+        softmax_update(s, v_ref[0], guarded=True)
+
+    @pl.when(valid & window_only)
+    def _body_window():
+        rows_g, cols_g = iotas()
+        win = cols_g >= rows_g - window + 1
+        if not sink_tile and num_sink > 0:
+            win |= cols_g < num_sink
+        s = jnp.where(win, scores(), NEG_INF)
+        softmax_update(s, v_ref[0], guarded=True)
+
+    @pl.when(valid & general)
+    def _body_general():
+        rows_g, cols_g = iotas()
+        mask = _block_mask(rows_g, cols_g, num_sink, window, off_ref[2])
+        if sink_tile:
+            mask &= cols_g >= num_sink  # sink cols handled by the sink tile
+        mask &= ((rows_g - q_off < n_q) & (cols_g - kv_off < n_kv))
+        s = jnp.where(mask, scores(), NEG_INF)
+        softmax_update(s, v_ref[0], guarded=True)
 
     @pl.when(step == steps - 1)
     def _finalize():
         l = l_ref[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        lse = m_ref[:, 0] + jnp.log(l_safe[:, 0])  # [bm]
+        # m is in the exp2 domain; published LSE is natural-log.
+        lse = m_ref[:, 0] * LN2 + jnp.log(l_safe[:, 0])  # [bm]
         lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
@@ -256,16 +312,39 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
 
 def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                dq_ref, acc_ref, *, scale, num_sink, window, n_q, n_kv, bm, bn,
-               nsb, steps):
+               nsb, steps, sink_tile=False, ks_ref=None, vs_ref=None):
     qi = pl.program_id(1)
     step = pl.program_id(2)
     q_off = off_ref[0]
     kv_off = off_ref[1]
     n_kv_blocks = _cdiv(n_kv, bn)
 
+    def q_scaled():
+        return (q_ref[0] * (scale * LOG2E)).astype(q_ref.dtype)
+
     @pl.when(step == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        if sink_tile:
+            sl = ks_ref.shape[1]
+            lse = lse_ref[0, 0].astype(jnp.float32) * LOG2E
+            delta = delta_ref[0, 0].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q_scaled(), ks_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rows_g = (qi * bm + q_off +
+                      jax.lax.broadcasted_iota(jnp.int32, (bm, sl), 0))
+            cols_g = jax.lax.broadcasted_iota(jnp.int32, (bm, sl), 1)
+            mask = ((cols_g < min(num_sink, n_kv)) & (cols_g <= rows_g) &
+                    (cols_g < off_ref[2]))
+            p = jnp.where(mask, jnp.exp2(s - lse[:, None]), 0.0)
+            dp = jax.lax.dot_general(
+                do_ref[0], vs_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta[:, None])
+            acc_ref[...] += jax.lax.dot_general(
+                ds.astype(ks_ref.dtype), ks_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     block, valid = _fwd_kv_step(
         qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
@@ -273,29 +352,30 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(valid)
     def _body():
-        q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0]
-        lse = lse_ref[0, 0].astype(jnp.float32)  # [bm]
+        lse = lse_ref[0, 0].astype(jnp.float32) * LOG2E  # [bm], exp2 domain
         delta = delta_ref[0, 0].astype(jnp.float32)  # [bm]
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            q_scaled(), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         rows_l = qi * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
         cols_l = block * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
         mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window,
                            off_ref[2])
+        if sink_tile:
+            mask &= cols_l + kv_off >= num_sink  # handled by the sink tile
         mask &= (rows_l < n_q) & (cols_l < n_kv)
 
-        p = jnp.exp(s - lse[:, None])
-        p = jnp.where(mask, p, 0.0)
+        # p == 0 on masked lanes, so ds needs no second mask (dp - delta is
+        # always finite).
+        p = jnp.where(mask, jnp.exp2(s - lse[:, None]), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
-        ds = jnp.where(mask, ds, 0.0)
         acc_ref[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -359,20 +439,21 @@ def _dkdv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0]
-        lse = lse_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0].astype(jnp.float32) * LOG2E
         delta = delta_ref[0, 0].astype(jnp.float32)
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [bm, bn]
+            (q * (scale * LOG2E)).astype(q.dtype), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bm, bn]
         rows_l = q_block * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
         cols_l = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
         mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window,
                            off_ref[2])
         mask &= (rows_l < n_q) & (cols_l < n_kv)
 
-        p = jnp.exp(s - lse[:, None])
-        p = jnp.where(mask, p, 0.0)
+        # p == 0 on masked lanes, so ds needs no second mask (dp - delta is
+        # always finite).
+        p = jnp.where(mask, jnp.exp2(s - lse[:, None]), 0.0)
         # dV += P^T @ dO
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -381,7 +462,6 @@ def _dkdv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
-        ds = jnp.where(mask, ds, 0.0)
         # dK += dS^T @ Q  (scale applied at flush)
         dk_acc[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -441,8 +521,16 @@ def _step_counts(num_sink, window, bm, bn, n_kv_blocks, aligned):
     return nsb, max(nsb + mwb, 1)
 
 
+def _use_sink_tile(num_sink: int, aligned_zero_kv_off: bool, bn: int) -> bool:
+    """Sink tokens as a thin dedicated tile: only when they are few enough
+    to fit one 128-lane tile, materially thinner than bn, and the KV chunk
+    statically starts at global column 0 (so the first LANES slots of K/V
+    are the sinks)."""
+    return 0 < num_sink <= LANES and bn > LANES and aligned_zero_kv_off
+
+
 def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
-              aligned=False):
+              aligned=False, kv_starts_at_zero=False):
     if interpret is None:
         interpret = _default_interpret()
     qp, kp, vp, dims = _prep(q, k, v, bm, bn)
@@ -452,7 +540,11 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
 
     n_q_blocks = nq_pad // bm
     n_kv_blocks = nk_pad // bn
+    sink_tile = _use_sink_tile(num_sink, kv_starts_at_zero, bn)
     nsb, steps = _step_counts(num_sink, window, bm, bn, n_kv_blocks, aligned)
+    if sink_tile:
+        steps = max(steps - nsb, 1)
+        nsb = 0
 
     use_s_aux = s_aux is not None
     if use_s_aux:
@@ -471,15 +563,23 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
             window=window, n_q=N_q, n_kv_blocks=n_kv_blocks)
         return (kv_bh(bh), block, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+        pl.BlockSpec((1, bn, d_pad), kv_index),
+        pl.BlockSpec((1, bn, d_pad), kv_index),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # s_aux, whole array
+    ]
+    operands = [qp, kp, vp, aux]
+    if sink_tile:
+        sink_spec = pl.BlockSpec(
+            (1, LANES, d_pad), lambda bh, qi, s, off: (kv_bh(bh), 0, 0))
+        in_specs += [sink_spec, sink_spec]
+        operands += [kp, vp]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * H_q, n_q_blocks, steps),
-        in_specs=[
-            pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
-            pl.BlockSpec((1, bn, d_pad), kv_index),
-            pl.BlockSpec((1, bn, d_pad), kv_index),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # s_aux, whole array
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
             pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
@@ -491,9 +591,18 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
         ],
     )
 
-    kernel = functools.partial(
+    base = functools.partial(
         _fwd_kernel, scale=scale, num_sink=num_sink, window=window, n_q=N_q,
-        n_kv=N_kv, bm=bm, bn=bn, nsb=nsb, steps=steps, use_s_aux=use_s_aux)
+        n_kv=N_kv, bm=bm, bn=bn, nsb=nsb, steps=steps, use_s_aux=use_s_aux,
+        sink_tile=sink_tile)
+    if sink_tile:
+        def kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, ks_ref, vs_ref,
+                   o_ref, lse_ref, acc_ref, m_ref, l_ref):
+            return base(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref,
+                        lse_ref, acc_ref, m_ref, l_ref, ks_ref=ks_ref,
+                        vs_ref=vs_ref)
+    else:
+        kernel = base
 
     flops = 4 * B * H_q * N_q * min(num_sink + window, N_kv) * d_pad
     params = dict(
@@ -511,20 +620,21 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
     if cp is not None:
         params["compiler_params"] = cp
 
-    o_p, lse_p = pl.pallas_call(kernel, **params)(offsets, qp, kp, vp, aux)
+    o_p, lse_p = pl.pallas_call(kernel, **params)(offsets, *operands)
     o = o_p.reshape(B, H_q, nq_pad, d_pad)[:, :, :N_q, :D]
     lse = lse_p[:, 0].reshape(B, H_q, nq_pad)[:, :, :N_q]
     return o, lse
 
 
 def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
-              interpret, aligned=False):
+              interpret, aligned=False, kv_starts_at_zero=False):
     if interpret is None:
         interpret = _default_interpret()
     qp, kp, vp, dims = _prep(q, k, v, bm, bn)
     B, H_q, H_kv, N_q, N_kv, D, nq_pad, nk_pad, d_pad = dims
     group = H_q // H_kv
     scale = 1.0 / (D**0.5)
+    sink_tile = _use_sink_tile(num_sink, kv_starts_at_zero, bn)
 
     dop = _pad_nd(do, nq_pad, _round_up(D, LANES)).reshape(
         B * H_q, nq_pad, d_pad)
@@ -544,6 +654,10 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
     n_q_blocks = nq_pad // bm
     n_kv_blocks = nk_pad // bn
     nsb, steps = _step_counts(num_sink, window, bm, bn, n_kv_blocks, aligned)
+    dq_nsb, dq_steps = nsb, steps
+    if sink_tile:
+        dq_steps = max(steps - nsb, 1)
+        dq_nsb = 0
 
     def kv_bh(bh):
         return (bh // H_q) * H_kv + (bh % H_q) // group
@@ -551,28 +665,46 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
     # ---- dQ: grid (B*H_q, n_q_blocks, steps) ----
     def kv_index(bh, qi, s, off):
         block, _ = _fwd_kv_step(
-            qi, s, off[0], off[1], bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
-            window=window, n_q=N_q, n_kv_blocks=n_kv_blocks)
+            qi, s, off[0], off[1], bm=bm, bn=bn, nsb=dq_nsb,
+            num_sink=num_sink, window=window, n_q=N_q,
+            n_kv_blocks=n_kv_blocks)
         return (kv_bh(bh), block, 0)
+
+    dq_in_specs = [
+        pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+        pl.BlockSpec((1, bn, d_pad), kv_index),
+        pl.BlockSpec((1, bn, d_pad), kv_index),
+        pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+        pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
+        pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
+    ]
+    dq_operands = [qp, kp, vp, dop, lse_p, delta_p]
+    if sink_tile:
+        sink_spec = pl.BlockSpec(
+            (1, LANES, d_pad), lambda bh, qi, s, off: (kv_bh(bh), 0, 0))
+        dq_in_specs += [sink_spec, sink_spec]
+        dq_operands += [kp, vp]
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * H_q, n_q_blocks, steps),
-        in_specs=[
-            pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
-            pl.BlockSpec((1, bn, d_pad), kv_index),
-            pl.BlockSpec((1, bn, d_pad), kv_index),
-            pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
-            pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
-            pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
-        ],
+        grid=(B * H_q, n_q_blocks, dq_steps),
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, bm, d_pad),
                                lambda bh, qi, s, off: (bh, qi, 0)),
         scratch_shapes=[pltpu.VMEM((bm, d_pad), jnp.float32)],
     )
-    dq_kernel = functools.partial(
+    dq_base = functools.partial(
         _dq_kernel, scale=scale, num_sink=num_sink, window=window, n_q=N_q,
-        n_kv=N_kv, bm=bm, bn=bn, nsb=nsb, steps=steps)
+        n_kv=N_kv, bm=bm, bn=bn, nsb=dq_nsb, steps=dq_steps,
+        sink_tile=sink_tile)
+    if sink_tile:
+        def dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, ks_ref, vs_ref, dq_ref, acc_ref):
+            return dq_base(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                           delta_ref, dq_ref, acc_ref, ks_ref=ks_ref,
+                           vs_ref=vs_ref)
+    else:
+        dq_kernel = dq_base
     dq_params = dict(
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((B * H_q, nq_pad, d_pad), q.dtype),
@@ -581,8 +713,7 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
     cp = _compiler_params(("parallel", "parallel", "arbitrary"))
     if cp is not None:
         dq_params["compiler_params"] = cp
-    dq_p = pl.pallas_call(dq_kernel, **dq_params)(
-        offsets, qp, kp, vp, dop, lse_p, delta_p)
+    dq_p = pl.pallas_call(dq_kernel, **dq_params)(offsets, *dq_operands)
     dq = dq_p.reshape(B, H_q, nq_pad, d_pad)[:, :, :N_q, :D]
 
     # ---- dK/dV: two passes over disjoint KV-block ranges ----
@@ -687,41 +818,45 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _sink_attn(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
-               aligned):
+               aligned, kv0):
     o, _ = _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                     interpret, aligned)
+                     interpret, aligned, kv_starts_at_zero=kv0)
     return o
 
 
 def _sink_attn_fwd(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                   interpret, aligned):
+                   interpret, aligned, kv0):
     o, lse = _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                       interpret, aligned)
+                       interpret, aligned, kv_starts_at_zero=kv0)
     return o, (q, k, v, s_aux, offsets, o, lse)
 
 
-def _sink_attn_bwd(num_sink, window, bm, bn, interpret, aligned, res, g):
+def _sink_attn_bwd(num_sink, window, bm, bn, interpret, aligned, kv0, res, g):
     q, k, v, s_aux, offsets, o, lse = res
     dq, dk, dv, ds_aux = _bwd_impl(
         q, k, v, s_aux, offsets, o, lse, g, num_sink, window, bm, bn,
-        interpret, aligned)
+        interpret, aligned, kv_starts_at_zero=kv0)
     return dq, dk, dv, ds_aux, None
 
 
 _sink_attn.defvjp(_sink_attn_fwd, _sink_attn_bwd)
 
 
-def _block_sizes(n_q: int, n_kv: int, block_q, block_kv, d: int = 128):
-    """Default tile policy (swept on v5e: 1024x1024 -> 27% MFU at the
-    headline config vs 5.7% at 128x128). Shrinks for small N and large D
-    (VMEM: the fp32 scores tile is bm*bn*4 bytes)."""
-    cap = 1024 if d <= 128 else 512
+def _block_sizes(n_q: int, n_kv: int, block_q, block_kv, d: int = 128,
+                 dtype=jnp.bfloat16):
+    """Default tile policy, swept on v5e (scripts/tune_block_sizes.py):
+    1024x1024 is fastest at the headline config (B=1 GQA 32/8 D=128 W=4096
+    N=8192, bf16) — per-step overhead dominates masked-boundary waste, so
+    large tiles win until VMEM. Shrinks for large D, 4-byte dtypes (fp32
+    K/V tiles are 2x bf16), and small N."""
+    big = d <= 128 and jnp.dtype(dtype).itemsize <= 2
+    cap_q, cap_kv = (1024, 1024) if big else (512, 512)
     if _default_interpret():
-        cap = 256  # interpreter cost scales with tile padding; keep small
-    bm = block_q or min(cap, _round_up(n_q, LANES))
-    bn = block_kv or min(cap, _round_up(n_kv, LANES))
+        cap_q = cap_kv = 256  # interpreter cost scales with tile padding
+    bm = block_q or min(cap_q, _round_up(n_q, LANES))
+    bn = block_kv or min(cap_kv, _round_up(n_kv, LANES))
     return bm, bn
 
 
@@ -746,11 +881,11 @@ def sink_flash_attention(q, k, v, num_sink: int = 4, window_size: int = 512,
         [B, H_q, N_q, D] attention output in q.dtype.
     """
     bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv,
-                          q.shape[3])
+                          q.shape[3], q.dtype)
     aligned = (q_offset % bn == 0 and kv_offset % bn == 0 and bm % bn == 0)
     offsets = jnp.array([q_offset, kv_offset], jnp.int32)
     return _sink_attn(q, k, v, s_aux, offsets, num_sink, window_size, bm, bn,
-                      interpret, aligned)
+                      interpret, aligned, kv_offset == 0)
 
 
 def sink_flash_attention_with_lse(q, k, v, num_sink: int = 4,
@@ -761,11 +896,11 @@ def sink_flash_attention_with_lse(q, k, v, num_sink: int = 4,
                                   interpret: bool | None = None):
     """Forward-only variant returning (out, lse) for partial merging."""
     bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv,
-                          q.shape[3])
+                          q.shape[3], q.dtype)
     aligned = (q_offset % bn == 0 and kv_offset % bn == 0 and bm % bn == 0)
     offsets = jnp.array([q_offset, kv_offset], jnp.int32)
     return _fwd_impl(q, k, v, s_aux, offsets, num_sink, window_size, bm, bn,
-                     interpret, aligned)
+                     interpret, aligned, kv_starts_at_zero=kv_offset == 0)
 
 
 def sink_flash_attention_chunk(q, k, v, offsets, num_sink: int = 4,
@@ -780,7 +915,7 @@ def sink_flash_attention_chunk(q, k, v, offsets, num_sink: int = 4,
     is counted exactly once across chunks.
     """
     bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv,
-                          q.shape[3])
+                          q.shape[3], q.dtype)
     return _fwd_impl(q, k, v, None, offsets, num_sink, window_size, bm, bn,
                      interpret, aligned=False)
 
