@@ -1,3 +1,4 @@
 from .sink_cache import SinkKVCache, quantize, dequantize
+from .ragged import RaggedSinkKVCache
 
-__all__ = ["SinkKVCache", "quantize", "dequantize"]
+__all__ = ["SinkKVCache", "RaggedSinkKVCache", "quantize", "dequantize"]

@@ -3,7 +3,9 @@ from .model import (
     init_params,
     forward_prefill,
     forward_decode,
+    forward_decode_ragged,
     make_caches,
+    make_ragged_caches,
     rms_norm,
     rope_cos_sin,
     apply_rope,
@@ -16,7 +18,9 @@ __all__ = [
     "init_params",
     "forward_prefill",
     "forward_decode",
+    "forward_decode_ragged",
     "make_caches",
+    "make_ragged_caches",
     "rms_norm",
     "rope_cos_sin",
     "apply_rope",

@@ -219,6 +219,21 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def decoder_layer(lp: dict, cfg: ModelConfig, x: jax.Array, cos, sin,
+                  window: int, attn_impl) -> jax.Array:
+    """One transformer block (attention + MoE) on [B, N, H] activations."""
+    h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+    q, k, v = _qkv(lp["attn"], cfg, h)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attn_impl(
+        q, k, v, num_sink=cfg.num_sink_tokens, window_size=window,
+        s_aux=lp["attn"]["sinks"].astype(jnp.float32))
+    x = x + _out_proj(lp["attn"], cfg, attn)
+    h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+    return x + moe(lp["mlp"], cfg, h)
+
+
 def forward_prefill(
     params: dict,
     cfg: ModelConfig,
@@ -227,11 +242,15 @@ def forward_prefill(
     positions: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
     attn_impl=None,
+    collect_kv: bool = False,
 ):
     """Full-sequence forward. input_ids: [B, N] -> logits [B, N, V].
 
     If ``caches`` is given (one SinkKVCache per layer), each layer's KV is
     stored for subsequent decode, and the updated caches are returned.
+    If ``collect_kv`` is set, the second return value is instead the raw
+    per-layer (k, v) ([B,H_kv,N,D] each) — used by the continuous-batching
+    engine to insert a prefilled request into a ragged cache slot.
     ``attn_impl(q, k, v, num_sink, window, s_aux)`` overrides the attention
     op (e.g. a shard_map'd Ulysses island for sharded training).
     """
@@ -245,6 +264,7 @@ def forward_prefill(
                                       interpret=interpret)
 
     new_caches = [] if caches is not None else None
+    kvs = [] if collect_kv else None
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp["attn"], cfg, h)
@@ -257,12 +277,14 @@ def forward_prefill(
         x = x + _out_proj(lp["attn"], cfg, attn)
         if caches is not None:
             new_caches.append(caches[li].prefill(k, v))
+        if collect_kv:
+            kvs.append((k, v))
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         x = x + moe(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = x @ params["lm_head"].astype(x.dtype)
-    return logits, new_caches
+    return logits, (kvs if collect_kv else new_caches)
 
 
 def forward_decode(
@@ -303,6 +325,49 @@ def forward_decode(
     return logits, new_caches
 
 
+def forward_decode_ragged(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    caches: list,
+    positions: jax.Array,
+    active: jax.Array,
+    interpret: Optional[bool] = None,
+):
+    """Ragged single-token decode: per-slot positions and active mask.
+
+    The continuous-batching decode step: every batch slot holds its own
+    sequence at its own length. input_ids: [B, 1]; positions: [B] int32
+    (the global position of this token per slot, for RoPE); active: [B]
+    bool. caches: list[RaggedSinkKVCache]. Returns (logits [B, 1, V],
+    new caches).
+    """
+    from ..cache.ragged import RaggedSinkKVCache  # noqa: F401 (type)
+    from ..ops import sink_decode_attention_ragged
+
+    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    cos, sin = rope_cos_sin(cfg, positions[:, None])  # [B, 1, D/2]
+
+    new_caches = []
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp["attn"], cfg, h)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = caches[li].append(k, v, active)
+        attn = sink_decode_attention_ragged(
+            q, cache, s_aux=lp["attn"]["sinks"].astype(jnp.float32),
+            interpret=interpret)
+        new_caches.append(cache)
+        x = x + _out_proj(lp["attn"], cfg, attn)
+        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + moe(lp["mlp"], cfg, h)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = x @ params["lm_head"].astype(x.dtype)
+    return logits, new_caches
+
+
 def make_caches(cfg: ModelConfig, batch: int, max_len: int,
                 dtype: Any = jnp.bfloat16, quant: Optional[str] = None,
                 streaming: bool = False) -> List[SinkKVCache]:
@@ -324,6 +389,30 @@ def make_caches(cfg: ModelConfig, batch: int, max_len: int,
         else:
             ns, w = cfg.num_sink_tokens, max_len
         caches.append(SinkKVCache.init(
+            batch, cfg.num_kv_heads, cfg.head_dim, num_sink=ns,
+            window_size=w, dtype=dtype, quant=quant))
+    return caches
+
+
+def make_ragged_caches(cfg: ModelConfig, batch: int, max_len: int,
+                       dtype: Any = jnp.bfloat16,
+                       quant: Optional[str] = None,
+                       streaming: bool = False) -> list:
+    """Per-layer ``RaggedSinkKVCache`` for continuous batching (same window
+    policy as :func:`make_caches`)."""
+    from ..cache.ragged import RaggedSinkKVCache
+
+    caches = []
+    for li in range(cfg.num_layers):
+        sliding = cfg.layer_types[li] == "sliding_attention"
+        if sliding:
+            ns, w = cfg.num_sink_tokens, cfg.sliding_window
+        elif streaming:
+            ns = max(cfg.num_sink_tokens, 4)
+            w = max(cfg.sliding_window, 4096)
+        else:
+            ns, w = cfg.num_sink_tokens, max_len
+        caches.append(RaggedSinkKVCache.init(
             batch, cfg.num_kv_heads, cfg.head_dim, num_sink=ns,
             window_size=w, dtype=dtype, quant=quant))
     return caches

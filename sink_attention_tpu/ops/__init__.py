@@ -5,7 +5,8 @@ from .flash import (
     sink_flash_attention_chunk,
     merge_partials,
 )
-from .decode import sink_decode_attention, sink_decode_attention_cached
+from .decode import (sink_decode_attention, sink_decode_attention_cached,
+                     sink_decode_attention_ragged)
 
 __all__ = [
     "eager_sink_attention",
@@ -16,4 +17,5 @@ __all__ = [
     "merge_partials",
     "sink_decode_attention",
     "sink_decode_attention_cached",
+    "sink_decode_attention_ragged",
 ]

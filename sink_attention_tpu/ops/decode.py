@@ -13,8 +13,16 @@ with one Pallas kernel, redesigned for TPU:
   split" concatenation (decode_kernel.py:205-215).
 * The circular window buffer is attended **in place**: softmax is
   permutation-invariant over the KV set, so only a per-slot validity mask is
-  needed (slot < sink_len, or slot within the valid window prefix) — no
-  chronological linearization copies (reference cache.py:185-216).
+  needed — no chronological linearization copies (reference cache.py:185-216).
+  Window-slot validity is the circular-age test
+  ``(write_pos - 1 - slot) mod window_size < window_len``, which subsumes
+  both the prefix layout (pre-wrap) and fully-wrapped layout, and lets
+  continuous batching park sequences at arbitrary ring phases.
+* Cache state is **per sequence**: the scalar-prefetch operand carries
+  [B, 4] = (sink_len, window_len, write_pos, high-water-mark) rows, so a
+  ragged batch (continuous batching) decodes in one kernel launch. The
+  reference shares cache state across the batch and requires equal lengths
+  (cache.py:11-13).
 * INT8/FP8 KV dequantization is fused: per-token scales multiply the score
   and probability rows (cheap [G, S]-shaped VPU work), so the matmuls read
   quantized data straight from the cache and HBM traffic is halved/quartered.
@@ -34,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..cache.sink_cache import SinkKVCache
 
-__all__ = ["sink_decode_attention", "sink_decode_attention_cached"]
+__all__ = ["sink_decode_attention", "sink_decode_attention_cached",
+           "sink_decode_attention_ragged"]
 
 NEG_INF = float("-inf")
 LANES = 128
@@ -53,18 +62,14 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _valid_total(lens_ref, sink_cap: int):
-    """Highest valid slot index + 1 (for skipping empty KV blocks)."""
-    sink_len, window_len = lens_ref[0], lens_ref[1]
-    return jnp.where(window_len > 0, sink_cap + window_len, sink_len)
-
-
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
                    o_ref, acc_ref, m_ref, l_ref, *, scale, sink_cap, block_s,
-                   steps, use_aux, quantized):
+                   steps, use_aux, quantized, window_size, h_kv):
+    b = pl.program_id(0) // h_kv
     step = pl.program_id(1)
-    sink_len = lens_ref[0]
-    window_len = lens_ref[1]
+    sink_len = lens_ref[b, 0]
+    window_len = lens_ref[b, 1]
+    write_pos = lens_ref[b, 2]
 
     @pl.when(step == 0)
     def _init():
@@ -76,8 +81,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
             m_ref[...] = jnp.full_like(m_ref, NEG_INF)
             l_ref[...] = jnp.zeros_like(l_ref)
 
-    valid_total = _valid_total(lens_ref, sink_cap)
-    step_valid = step * block_s < valid_total
+    step_valid = step * block_s < lens_ref[b, 3]
 
     @pl.when(step_valid)
     def _body():
@@ -93,8 +97,13 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
 
         slots = step * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (g_pad, block_s), 1)
-        valid = (slots < sink_len) | ((slots >= sink_cap) &
-                                      (slots < sink_cap + window_len))
+        # Circular-age validity: a window slot is live iff it is one of the
+        # newest ``window_len`` positions behind write_pos on the ring.
+        sw = slots - sink_cap
+        age = jnp.where(sw < write_pos, write_pos - 1 - sw,
+                        write_pos - 1 - sw + window_size)
+        valid = (slots < sink_len) | ((sw >= 0) & (sw < window_size) &
+                                      (age < window_len))
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -127,9 +136,11 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
 
 
 def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
-                 sink_cap: int, scale: float, quantized: bool,
-                 block_s: Optional[int], interpret: Optional[bool]):
-    """q: [B, H_q, 1, D]; k_buf/v_buf: [B, H_kv, S_total, D_pad]."""
+                 sink_cap: int, window_size: int, scale: float,
+                 quantized: bool, block_s: Optional[int],
+                 interpret: Optional[bool]):
+    """q: [B, H_q, 1, D]; k_buf/v_buf: [B, H_kv, S_total, D_pad];
+    lens: [B, 4] int32 rows (sink_len, window_len, write_pos, hwm)."""
     if interpret is None:
         interpret = _default_interpret()
     B, H_q, n_q, D = q.shape
@@ -169,10 +180,10 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
         aux = jnp.zeros((1, g_pad, LANES), jnp.float32)
 
     lens = jnp.asarray(lens, jnp.int32)
+    assert lens.ndim == 2 and lens.shape[1] == 4, lens.shape
 
     def kv_index(bh, s, lens_ref):
-        vt = _valid_total(lens_ref, sink_cap)
-        max_step = jnp.maximum(_cdiv(vt, block_s) - 1, 0)
+        max_step = jnp.maximum(_cdiv(lens_ref[bh // H_kv, 3], block_s) - 1, 0)
         return (bh, jnp.minimum(s, max_step), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -202,7 +213,8 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
     )
     kernel = functools.partial(
         _decode_kernel, scale=scale, sink_cap=sink_cap, block_s=block_s,
-        steps=steps, use_aux=use_aux, quantized=quantized)
+        steps=steps, use_aux=use_aux, quantized=quantized,
+        window_size=window_size, h_kv=H_kv)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -212,6 +224,16 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
 
     out = out.reshape(B, H_kv, g_pad, d_pad)[:, :, :group, :D]
     return out.reshape(B, H_q, 1, D)
+
+
+def _uniform_lens(sink_len, window_len, write_pos, window_size: int,
+                  sink_cap: int, batch: int):
+    """[B, 4] lens rows from batch-shared scalar cache state."""
+    hwm = sink_cap + jnp.where(window_len >= window_size,
+                               jnp.int32(window_size), window_len)
+    row = jnp.stack([jnp.int32(sink_len), jnp.int32(window_len),
+                     jnp.int32(write_pos), hwm])
+    return jnp.broadcast_to(row[None, :], (batch, 4))
 
 
 def sink_decode_attention(q, k, v, s_aux=None, block_s: Optional[int] = None,
@@ -232,9 +254,10 @@ def sink_decode_attention(q, k, v, s_aux=None, block_s: Optional[int] = None,
     kb = jnp.pad(k, pad)
     vb = jnp.pad(v, pad)
     ones = jnp.ones((B, H_kv, n_pad), jnp.float32)
-    lens = jnp.array([0, n_kv], jnp.int32)  # sink_len=0; window prefix = KV
+    # sink_len = 0; whole KV is a not-yet-wrapped window prefix.
+    lens = _uniform_lens(0, n_kv, n_kv, n_pad, 0, B)
     return _decode_call(
-        q, kb, vb, ones, ones, lens, s_aux, sink_cap=0,
+        q, kb, vb, ones, ones, lens, s_aux, sink_cap=0, window_size=n_pad,
         scale=1.0 / (D**0.5), quantized=False, block_s=block_s,
         interpret=interpret)
 
@@ -251,10 +274,33 @@ def sink_decode_attention_cached(q, cache: SinkKVCache, s_aux=None,
         q: [B, H_q, 1, D] query for the token being decoded (its KV must
            already be appended to ``cache``).
     """
-    D = q.shape[-1]
-    lens = jnp.stack([cache.sink_len, cache.window_len]).astype(jnp.int32)
+    B, D = q.shape[0], q.shape[-1]
+    lens = _uniform_lens(cache.sink_len, cache.window_len, cache.write_pos,
+                         cache.window_size, cache.sink_cap, B)
     return _decode_call(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, lens, s_aux,
-        sink_cap=cache.sink_cap, scale=1.0 / (D**0.5),
-        quantized=cache.quant is not None, block_s=block_s,
-        interpret=interpret)
+        sink_cap=cache.sink_cap, window_size=cache.window_size,
+        scale=1.0 / (D**0.5), quantized=cache.quant is not None,
+        block_s=block_s, interpret=interpret)
+
+
+def sink_decode_attention_ragged(q, cache, s_aux=None,
+                                 block_s: Optional[int] = None,
+                                 interpret: Optional[bool] = None):
+    """Single-token decode over a ``RaggedSinkKVCache`` (per-sequence state).
+
+    Every batch slot attends its own (sink_len[b], window_len[b],
+    write_pos[b]) view of the shared ring buffers — the continuous-batching
+    decode path. Inactive slots (window_len == sink_len == 0) produce zeros.
+    """
+    D = q.shape[-1]
+    hwm = cache.sink_cap + jnp.where(
+        cache.window_len > 0, jnp.int32(cache.window_size),
+        jnp.zeros_like(cache.window_len))
+    lens = jnp.stack([cache.sink_len, cache.window_len, cache.write_pos,
+                      hwm], axis=1).astype(jnp.int32)
+    return _decode_call(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, lens, s_aux,
+        sink_cap=cache.sink_cap, window_size=cache.window_size,
+        scale=1.0 / (D**0.5), quantized=cache.quant is not None,
+        block_s=block_s, interpret=interpret)

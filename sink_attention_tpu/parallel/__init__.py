@@ -7,6 +7,13 @@ from .sp import (
 )
 from .ulysses import ulysses_sink_flash_attention, slice_s_aux_for_rank
 from .ring import ring_sink_flash_attention
+from .pp import (
+    stack_pipeline_params,
+    unstack_pipeline_params,
+    pipeline_forward,
+    make_pp_train_step,
+    pipeline_param_shardings,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +29,9 @@ __all__ = [
     "ulysses_sink_flash_attention",
     "slice_s_aux_for_rank",
     "ring_sink_flash_attention",
+    "stack_pipeline_params",
+    "unstack_pipeline_params",
+    "pipeline_forward",
+    "make_pp_train_step",
+    "pipeline_param_shardings",
 ]

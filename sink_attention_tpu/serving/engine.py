@@ -1,0 +1,211 @@
+"""Continuous batching engine over the ragged sink KV cache.
+
+The reference cannot serve ragged batches at all: its cache shares
+``write_pos``/``window_len`` across the batch and requires equal-length
+sequences (reference cache.py:11-13, README.md:479 "Batch processing
+assumes uniform sequence lengths"). This engine removes that restriction —
+the BASELINE north star's "continuous batching" item:
+
+* A fixed pool of ``max_batch`` cache slots; each slot holds one request at
+  its own length / ring phase (``RaggedSinkKVCache``).
+* New requests prefill into a free slot (one compiled prefill per prompt
+  pad-bucket) while other slots keep decoding — no batch-wide drain.
+* One jitted decode step advances ALL active slots: per-slot RoPE
+  positions, per-slot cache append, one ragged Pallas decode-attention
+  launch for the whole pool.
+* Finished slots (EOS or budget) are recycled immediately.
+
+Sampling: greedy by default; temperature / top-k via ``SamplingParams``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import ModelConfig
+from ..models.model import (forward_decode_ragged, forward_prefill,
+                            make_ragged_caches)
+
+__all__ = ["SamplingParams", "Request", "ContinuousBatchingEngine"]
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+@dataclass
+class SamplingParams:
+    temperature: float = 0.0  # 0 => greedy
+    top_k: int = 0            # 0 => no top-k filtering
+
+
+@dataclass
+class Request:
+    rid: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos_id: Optional[int] = None
+    tokens: List[int] = field(default_factory=list)  # generated
+    done: bool = False
+
+
+class ContinuousBatchingEngine:
+    """Multi-request serving with slot-level continuous batching.
+
+    Usage::
+
+        eng = ContinuousBatchingEngine(params, cfg, max_batch=4)
+        eng.submit([1, 2, 3], max_new_tokens=32)
+        eng.submit([4, 5], max_new_tokens=16)
+        results = eng.run()   # {rid: [generated tokens]}
+    """
+
+    def __init__(self, params: dict, cfg: ModelConfig, max_batch: int = 4,
+                 max_len: int = 4096, prefill_bucket: int = 128,
+                 dtype: Any = jnp.bfloat16, quant: Optional[str] = None,
+                 eos_id: Optional[int] = None,
+                 sampling: Optional[SamplingParams] = None,
+                 seed: int = 0, streaming: bool = False,
+                 interpret: Optional[bool] = None):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.prefill_bucket = prefill_bucket
+        self.eos_id = eos_id
+        self.sampling = sampling or SamplingParams()
+        self.interpret = interpret
+        self.caches = make_ragged_caches(cfg, max_batch, max_len,
+                                         dtype=dtype, quant=quant,
+                                         streaming=streaming)
+        self.toks = jnp.zeros((max_batch,), jnp.int32)
+        self.key = jax.random.PRNGKey(seed)
+
+        self._slots: List[Optional[Request]] = [None] * max_batch
+        self._queue: List[Request] = []
+        self._next_rid = 0
+
+        cfg_ = cfg
+        interp = interpret
+
+        @jax.jit
+        def _prefill(params, caches, ids, true_len, slot):
+            logits, kvs = forward_prefill(params, cfg_, ids,
+                                          interpret=interp, collect_kv=True)
+            for li, (k, v) in enumerate(kvs):
+                caches[li] = caches[li].insert(slot, k[0], v[0], true_len)
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                keepdims=False)
+            return caches, last
+
+        @jax.jit
+        def _decode(params, caches, toks, active, key):
+            positions = caches[0].seen  # [B] position of the new token
+            logits, caches = forward_decode_ragged(
+                params, cfg_, toks[:, None], caches, positions, active,
+                interpret=interp)
+            nxt = self._sample(logits[:, -1], key)
+            return caches, jnp.where(active, nxt, toks)
+
+        self._prefill_fn = _prefill
+        self._decode_fn = _decode
+
+    # -- sampling -----------------------------------------------------------
+
+    def _sample(self, logits: jax.Array, key) -> jax.Array:
+        """logits: [B, V] (or [V]) -> token ids."""
+        sp = self.sampling
+        if sp.temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = logits / sp.temperature
+        if sp.top_k > 0:
+            kth = jax.lax.top_k(logits, sp.top_k)[0][..., -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+    # -- public API -----------------------------------------------------------
+
+    def submit(self, prompt: List[int], max_new_tokens: int = 64,
+               eos_id: Optional[int] = None) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(Request(rid, list(prompt), max_new_tokens,
+                                   eos_id if eos_id is not None
+                                   else self.eos_id))
+        return rid
+
+    @property
+    def active_count(self) -> int:
+        return sum(r is not None for r in self._slots)
+
+    def _admit(self):
+        """Prefill queued requests into free slots."""
+        for slot in range(self.max_batch):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            req = self._queue.pop(0)
+            n = len(req.prompt)
+            n_pad = _round_up(max(n, 1), self.prefill_bucket)
+            ids = jnp.zeros((1, n_pad), jnp.int32).at[0, :n].set(
+                jnp.asarray(req.prompt, jnp.int32))
+            self.caches, last_logits = self._prefill_fn(
+                self.params, self.caches, ids, jnp.int32(n),
+                jnp.int32(slot))
+            self.key, sub = jax.random.split(self.key)
+            first = int(self._sample(last_logits, sub))
+            self.toks = self.toks.at[slot].set(first)
+            req.tokens.append(first)
+            self._slots[slot] = req
+            self._finish_if_done(slot, first)
+
+    def _finish_if_done(self, slot: int, tok: int):
+        req = self._slots[slot]
+        if req is None:
+            return
+        if ((req.eos_id is not None and tok == req.eos_id) or
+                len(req.tokens) >= req.max_new_tokens):
+            req.done = True
+            self._slots[slot] = None
+            for li in range(len(self.caches)):
+                self.caches[li] = self.caches[li].clear(jnp.int32(slot))
+
+    def step(self) -> Dict[int, int]:
+        """Admit + one decode step for all active slots.
+
+        Returns {rid: token} emitted this step.
+        """
+        self._admit()
+        active_py = [r is not None for r in self._slots]
+        if not any(active_py):
+            return {}
+        active = jnp.asarray(active_py)
+        self.key, sub = jax.random.split(self.key)
+        self.caches, self.toks = self._decode_fn(
+            self.params, self.caches, self.toks, active, sub)
+        toks_host = jax.device_get(self.toks)
+        out = {}
+        for slot, is_active in enumerate(active_py):
+            if not is_active:
+                continue
+            req = self._slots[slot]
+            tok = int(toks_host[slot])
+            req.tokens.append(tok)
+            out[req.rid] = tok
+            self._finish_if_done(slot, tok)
+        return out
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain the queue and all active slots; return all generations."""
+        finished: Dict[int, List[int]] = {}
+        all_reqs: List[Request] = []
+        pending = list(self._queue) + [r for r in self._slots if r]
+        all_reqs.extend(pending)
+        while self._queue or self.active_count:
+            self.step()
+        for req in all_reqs:
+            finished[req.rid] = req.tokens
+        return finished

@@ -1,0 +1,208 @@
+"""Continuous batching: ragged cache, ragged decode kernel, engine.
+
+The reference cannot serve ragged batches (batch-shared cache state,
+reference cache.py:11-13); these tests pin the TPU build's removal of that
+restriction: per-slot ring state, one-kernel ragged decode, and engine
+outputs identical to per-request sequential generation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sink_attention_tpu.cache import RaggedSinkKVCache
+from sink_attention_tpu.ops import (
+    eager_sink_attention,
+    sink_decode_attention_ragged,
+)
+
+
+def _mk_kv(key, h, n, d):
+    k1, k2 = jax.random.split(key)
+    return (jax.random.normal(k1, (h, n, d), jnp.float32),
+            jax.random.normal(k2, (h, n, d), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# RaggedSinkKVCache state machine
+# ---------------------------------------------------------------------------
+
+
+def test_insert_linearizes_chronologically():
+    H, D, ns, W = 2, 8, 2, 16
+    cache = RaggedSinkKVCache.init(2, H, D, num_sink=ns, window_size=W,
+                                   dtype=jnp.float32)
+    n = 11  # < ns + W: nothing evicted
+    k_seq, v_seq = _mk_kv(jax.random.PRNGKey(0), H, n, D)
+    n_pad = 32
+    kp = jnp.pad(k_seq, ((0, 0), (0, n_pad - n), (0, 0)))
+    vp = jnp.pad(v_seq, ((0, 0), (0, n_pad - n), (0, 0)))
+    cache = cache.insert(1, kp, vp, n)
+
+    assert int(cache.sink_len[1]) == ns
+    assert int(cache.window_len[1]) == n - ns
+    assert int(cache.seen[1]) == n
+    assert int(cache.seen[0]) == 0  # other slot untouched
+
+    lk, lv = cache.linearized_kv_slot(1, head_dim=D)
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(k_seq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lv), np.asarray(v_seq), atol=1e-6)
+
+
+def test_insert_long_prompt_evicts_middle():
+    H, D, ns, W = 1, 8, 2, 8
+    cache = RaggedSinkKVCache.init(1, H, D, num_sink=ns, window_size=W,
+                                   dtype=jnp.float32)
+    n = 25  # > ns + W: middle evicted, sinks + last W survive
+    k_seq, v_seq = _mk_kv(jax.random.PRNGKey(1), H, n, D)
+    n_pad = 32
+    kp = jnp.pad(k_seq, ((0, 0), (0, n_pad - n), (0, 0)))
+    vp = jnp.pad(v_seq, ((0, 0), (0, n_pad - n), (0, 0)))
+    cache = cache.insert(0, kp, vp, n)
+
+    lk, _ = cache.linearized_kv_slot(0, head_dim=D)
+    expect = jnp.concatenate([k_seq[:, :ns], k_seq[:, n - W:]], axis=1)
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(expect), atol=1e-6)
+
+
+def test_ragged_append_only_advances_active():
+    H, D, ns, W = 1, 8, 1, 4
+    cache = RaggedSinkKVCache.init(2, H, D, num_sink=ns, window_size=W,
+                                   dtype=jnp.float32)
+    base_k, base_v = _mk_kv(jax.random.PRNGKey(2), H, 3, D)
+    pad = jnp.zeros((H, 13, D))
+    cache = cache.insert(0, jnp.concatenate([base_k, pad], 1),
+                         jnp.concatenate([base_v, pad], 1), 3)
+    cache = cache.insert(1, jnp.concatenate([base_k, pad], 1),
+                         jnp.concatenate([base_v, pad], 1), 3)
+
+    seq0 = [np.asarray(base_k)]
+    for t in range(6):  # wraps the W=4 ring
+        tk, tv = _mk_kv(jax.random.PRNGKey(10 + t), H, 1, D)
+        active = jnp.array([True, False])
+        cache = cache.append(jnp.tile(tk[None], (2, 1, 1, 1)),
+                             jnp.tile(tv[None], (2, 1, 1, 1)), active)
+        seq0.append(np.asarray(tk))
+
+    # slot 0 advanced through 6 appends; slot 1 froze at its prefill state
+    assert int(cache.seen[0]) == 9 and int(cache.seen[1]) == 3
+    full0 = np.concatenate(seq0, axis=1)  # [H, 9, D]
+    lk0, _ = cache.linearized_kv_slot(0, head_dim=D)
+    expect0 = np.concatenate([full0[:, :ns], full0[:, 9 - W:]], axis=1)
+    np.testing.assert_allclose(np.asarray(lk0), expect0, atol=1e-6)
+    lk1, _ = cache.linearized_kv_slot(1, head_dim=D)
+    np.testing.assert_allclose(np.asarray(lk1), np.asarray(base_k),
+                               atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Ragged decode kernel vs eager oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_ragged_decode_matches_eager_per_slot(quant):
+    B, Hq, Hkv, D, ns, W = 3, 4, 2, 32, 2, 16
+    dtype = jnp.float32 if quant is None else jnp.bfloat16
+    lens = [7, 23, 14]  # per-slot sequence lengths (incl. current token)
+    key = jax.random.PRNGKey(3)
+    cache = RaggedSinkKVCache.init(B, Hkv, D, num_sink=ns, window_size=W,
+                                   dtype=dtype, quant=quant)
+    ks_all, vs_all, qs = [], [], []
+    aux = jax.random.normal(jax.random.PRNGKey(99), (Hq,))
+    for b, n in enumerate(lens):
+        key, k1, k2 = jax.random.split(key, 3)
+        k_seq, v_seq = _mk_kv(k1, Hkv, n, D)
+        q_b = jax.random.normal(k2, (Hq, 1, D), jnp.float32)
+        n_pad = 32
+        kp = jnp.pad(k_seq, ((0, 0), (0, n_pad - n), (0, 0))).astype(dtype)
+        vp = jnp.pad(v_seq, ((0, 0), (0, n_pad - n), (0, 0))).astype(dtype)
+        cache = cache.insert(b, kp, vp, n)
+        ks_all.append(k_seq)
+        vs_all.append(v_seq)
+        qs.append(q_b)
+
+    q = jnp.stack(qs).astype(dtype)  # [B, Hq, 1, D]
+    out = sink_decode_attention_ragged(q, cache, s_aux=aux)
+
+    tol = 1e-4 if quant is None else 0.1
+    for b, n in enumerate(lens):
+        ref = eager_sink_attention(
+            qs[b][None], ks_all[b][None], vs_all[b][None], ns, W,
+            s_aux=aux, q_offset=n - 1)
+        err = float(jnp.max(jnp.abs(out[b].astype(jnp.float32) - ref[0])))
+        assert err < tol, (b, n, err)
+
+
+def test_ragged_decode_inactive_slot_zero():
+    B, Hq, Hkv, D = 2, 4, 2, 32
+    cache = RaggedSinkKVCache.init(B, Hkv, D, num_sink=2, window_size=16,
+                                   dtype=jnp.float32)
+    k_seq, v_seq = _mk_kv(jax.random.PRNGKey(5), Hkv, 8, D)
+    kp = jnp.pad(k_seq, ((0, 0), (0, 24), (0, 0)))
+    vp = jnp.pad(v_seq, ((0, 0), (0, 24), (0, 0)))
+    cache = cache.insert(0, kp, vp, 8)  # slot 1 stays empty
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, Hq, 1, D))
+    out = sink_decode_attention_ragged(q, cache)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(jnp.max(jnp.abs(out[1]))) == 0.0  # empty slot -> zeros
+
+
+# ---------------------------------------------------------------------------
+# Engine end-to-end vs sequential generation
+# ---------------------------------------------------------------------------
+
+
+def test_engine_matches_sequential_greedy():
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import (ContinuousBatchingEngine,
+                                            greedy_generate)
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+
+    prompts = [[5, 9, 2], [7, 1, 30, 11, 8, 4, 22], [3] * 20]
+    new_tokens = 8
+    max_len = 64
+
+    # sequential single-request baseline (uniform cache path)
+    expected = {}
+    for i, p in enumerate(prompts):
+        ids = jnp.asarray(p, jnp.int32)[None]
+        toks = greedy_generate(params, cfg, ids, new_tokens,
+                               dtype=jnp.float32)
+        expected[i] = [int(t) for t in np.asarray(toks[0])]
+
+    # engine with fewer slots than requests -> slot reuse mid-flight
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=2,
+                                   max_len=max_len, prefill_bucket=16,
+                                   dtype=jnp.float32)
+    rids = {eng.submit(p, max_new_tokens=new_tokens): i
+            for i, p in enumerate(prompts)}
+    results = eng.run()
+
+    assert set(results) == set(rids)
+    for rid, i in rids.items():
+        assert results[rid] == expected[i], (
+            i, results[rid], expected[i])
+
+
+def test_engine_eos_frees_slot():
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=16, num_layers=1)
+    params = init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=1, max_len=64,
+                                   prefill_bucket=16, dtype=jnp.float32)
+    # tiny vocab: some token will hit quickly; use every id as eos candidate
+    r1 = eng.submit([1, 2, 3], max_new_tokens=50, eos_id=None)
+    r2 = eng.submit([4, 5], max_new_tokens=3)
+    res = eng.run()
+    assert len(res[r2]) <= 3 and len(res[r1]) <= 50
+    assert r1 in res and r2 in res
