@@ -13,10 +13,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import argparse
+import json
 import time
 
 import jax
 import jax.numpy as jnp
+
+RESULTS = {"device": None, "prefill": [], "train": [], "decode": []}
 
 from sink_attention_tpu.cache import SinkKVCache
 from sink_attention_tpu.ops import (
@@ -50,6 +54,9 @@ def prefill_table():
             lambda q: sink_flash_attention(q, k, v, NS, W), q)
         fl = sink_attention_flops(B, HQ, N, D, NS, W)
         ref = REF.get(N)
+        RESULTS["prefill"].append(
+            {"N": N, "ms": dt * 1e3, "tflops": fl / dt / 1e12,
+             "mfu": fl / dt / V5E_PEAK_BF16, "ref_h200_ms": ref})
         print(f"{N:>7} {dt*1e3:>8.2f} {fl/dt/1e12:>9.1f} "
               f"{fl/dt/V5E_PEAK_BF16*100:>6.1f} "
               f"{ref if ref else '-':>12}")
@@ -69,6 +76,8 @@ def train_table():
             return jax.grad(loss)(q).astype(q.dtype)
 
         dt = time_chained(step, q, iters_lo=2, iters_hi=8)
+        RESULTS["train"].append(
+            {"N": N, "ms": dt * 1e3, "ref_h200_ms": REF_TRAIN.get(N)})
         print(f"{N:>7} {dt*1e3:>8.2f} {REF_TRAIN.get(N, '-'):>12}")
 
 
@@ -87,7 +96,6 @@ def decode_table():
                 jax.random.normal(ks[1], (B, HKV, W_ + NS, D), dtype))
             aux = jax.random.normal(ks[2], (HQ,))
 
-            @jax.jit
             def steps_fn(q0, cache, n):
                 def body(carry, _):
                     q, cache = carry
@@ -100,21 +108,83 @@ def decode_table():
                 return jnp.sum(o.astype(jnp.float32))
 
             q0 = jax.random.normal(ks[2], (B, HQ, 1, D), dtype)
-            import functools
-            f8 = jax.jit(functools.partial(steps_fn, n=8))
-            f40 = jax.jit(functools.partial(steps_fn, n=40))
-            float(f8(q0, cache)); float(f40(q0, cache))
-            t0 = time.perf_counter(); float(f8(q0, cache))
-            t1 = time.perf_counter(); float(f40(q0, cache))
-            t2 = time.perf_counter()
-            dt = ((t2 - t1) - (t1 - t0)) / 32
-            ref = {1024: 0.056 + 0.08, 4096: 0.201}.get(W_, "-")
+            jfn = jax.jit(steps_fn, static_argnums=2)
+            lo, hi = 64, 320
+            f_lo = lambda q, c: jfn(q, c, lo)
+            f_hi = lambda q, c: jfn(q, c, hi)
+            float(f_lo(q0, cache)); float(f_hi(q0, cache))
+            dts = []
+            for _ in range(3):
+                t0 = time.perf_counter(); float(f_lo(q0, cache))
+                t1 = time.perf_counter(); float(f_hi(q0, cache))
+                t2 = time.perf_counter()
+                dts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
+            dt = sorted(dts)[1]
+            ref = {1024: 0.056 + 0.08, 4096: 0.201}.get(W_)
+            RESULTS["decode"].append(
+                {"window": W_, "kv": quant or "bf16", "ms_per_step": dt * 1e3,
+                 "ref_h200_ms": ref})
             print(f"{W_:>6} {str(quant or 'bf16'):>6} {dt*1e3:>9.3f} "
-                  f"{ref:>12}")
+                  f"{ref if ref else '-':>12}")
+
+
+def engine_table():
+    """Continuous-batching serving throughput (tokens/s/chip).
+
+    Model: gpt-oss-20b layer geometry (2880 hidden, 64/8 heads GQA, 32
+    experts top-4, alternating sliding/full) truncated to 4 layers so it
+    fits one v5e (~9 GB bf16) — per-layer costs match the real model, so
+    tokens/s/chip/layer extrapolates. The reference has no serving
+    throughput numbers (and no continuous batching) to compare against.
+    """
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    print("\n=== Continuous batching decode throughput "
+          "(gpt-oss-20b geometry, 4 layers) ===")
+    print(f"{'slots':>6} {'quant':>6} {'ms/step':>9} {'tok/s/chip':>11}")
+    cfg = ModelConfig.gpt_oss_20b(num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    prompt = list(range(1, 65))
+    for max_batch in (1, 8):
+        for quant in (None, "int8"):
+            eng = ContinuousBatchingEngine(
+                params, cfg, max_batch=max_batch, max_len=4096,
+                prefill_bucket=64, dtype=jnp.bfloat16, quant=quant)
+            for _ in range(max_batch):
+                eng.submit(prompt, max_new_tokens=1 << 30)
+            eng.step()  # admits + compiles prefill
+            for _ in range(3):
+                eng.step()  # compile decode + warm up
+            n = 50
+            t0 = time.perf_counter()
+            for _ in range(n):
+                eng.step()
+            dt = (time.perf_counter() - t0) / n
+            tps = max_batch / dt
+            RESULTS["engine"].append(
+                {"slots": max_batch, "quant": quant or "bf16",
+                 "ms_per_step": dt * 1e3, "tokens_per_s": tps})
+            print(f"{max_batch:>6} {str(quant or 'bf16'):>6} "
+                  f"{dt*1e3:>9.2f} {tps:>11.1f}")
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", type=str, default=None,
+                    help="write results to this JSON file")
+    ap.add_argument("--engine", action="store_true",
+                    help="also run the serving-throughput section (slow)")
+    args = ap.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    RESULTS["device"] = jax.devices()[0].device_kind
+    RESULTS["engine"] = []
     prefill_table()
     train_table()
     decode_table()
+    if args.engine:
+        engine_table()
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(RESULTS, f, indent=1)
+        print(f"wrote {args.json}")

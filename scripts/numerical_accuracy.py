@@ -139,6 +139,10 @@ def decode_table():
 
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}")
-    fwd_table()
-    grad_table()
-    decode_table()
+    # On TPU, default matmul precision computes fp32 dots with bf16 passes
+    # (~8e-3 error in kernel AND oracle); pin highest so the tables measure
+    # the kernels, not XLA's default precision policy.
+    with jax.default_matmul_precision("highest"):
+        fwd_table()
+        grad_table()
+        decode_table()

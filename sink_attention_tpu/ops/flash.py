@@ -153,6 +153,61 @@ def _block_mask(rows_g, cols_g, num_sink: int, window: int, col_hi=None):
     return mask
 
 
+def _branch_masks(row_block, col_block, q_off, kv_off, col_hi, *, bm, bn,
+                  num_sink, window, n_q, n_kv, sink_tile):
+    """Per-tile mask-branch classification (scalars) + lazy mask builders.
+
+    The kernels are VPU-bound at large tiles, so every whole-tile op counts:
+    interior tiles skip masking entirely, diagonal tiles pay one causal
+    compare, window-start tiles one window compare; only sequence edges /
+    col_hi / sink overlaps build the full 5-term mask. Returns a list of
+    (condition, mask_fn_or_None) — conditions are mutually exclusive and
+    cover everything.
+    """
+    r0 = row_block * bm + q_off
+    c0 = col_block * bn + kv_off
+    needs_causal = c0 + bn - 1 > r0
+    all_sink = c0 + bn - 1 < jnp.int32(num_sink)
+    needs_win = (c0 < r0 + bm - 1 - window + 1) & jnp.logical_not(all_sink)
+    needs_sink_excl = (c0 < jnp.int32(num_sink)) if sink_tile else (
+        jnp.bool_(False))
+    oob = ((row_block * bm + bm > n_q) | (col_block * bn + bn > n_kv) |
+           (c0 < 0) | (c0 + bn - 1 >= col_hi))
+    general = oob | needs_sink_excl | (needs_causal & needs_win)
+    causal_only = needs_causal & jnp.logical_not(general)
+    window_only = needs_win & jnp.logical_not(needs_causal) & (
+        jnp.logical_not(general))
+    fast = jnp.logical_not(needs_causal | needs_win | general)
+
+    def iotas():
+        rows_g = (row_block * bm + q_off +
+                  jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0))
+        cols_g = (col_block * bn + kv_off +
+                  jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1))
+        return rows_g, cols_g
+
+    def causal_mask():
+        rows_g, cols_g = iotas()
+        return cols_g <= rows_g
+
+    def window_mask():
+        rows_g, cols_g = iotas()
+        win = cols_g >= rows_g - window + 1
+        if not sink_tile and num_sink > 0:
+            win |= cols_g < num_sink
+        return win
+
+    def general_mask():
+        rows_g, cols_g = iotas()
+        mask = _block_mask(rows_g, cols_g, num_sink, window, col_hi)
+        if sink_tile:
+            mask &= cols_g >= num_sink  # handled by the sink tile
+        return mask & ((rows_g - q_off < n_q) & (cols_g - kv_off < n_kv))
+
+    return [(fast, None), (causal_only, causal_mask),
+            (window_only, window_mask), (general, general_mask)]
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -233,67 +288,23 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
         qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
         window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
 
-    # Per-step scalar classification of which mask terms are active, so the
-    # common tiles run specialized cheap bodies:
-    #   fast    — interior block, no mask at all, unguarded softmax
-    #   causal  — diagonal block, single (col <= row) compare
-    #   window  — left window boundary, single window-start compare
-    #   general — everything else (sequence edges, col_hi, sink overlap)
-    r0 = qi * bm + q_off
-    c0 = block * bn + kv_off
-    needs_causal = c0 + bn - 1 > r0
-    needs_win = (c0 < r0 + bm - 1 - window + 1) & jnp.logical_not(
-        c0 + bn - 1 < jnp.int32(num_sink))
-    needs_sink_excl = (c0 < jnp.int32(num_sink)) if sink_tile else (
-        jnp.bool_(False))
-    oob = ((qi * bm + bm > n_q) | (block * bn + bn > n_kv) |
-           (c0 < 0) | (c0 + bn - 1 >= off_ref[2]))
-    general = oob | needs_sink_excl | (needs_causal & needs_win)
-    causal_only = needs_causal & jnp.logical_not(general)
-    window_only = needs_win & jnp.logical_not(needs_causal) & (
-        jnp.logical_not(general))
-    fast = jnp.logical_not(needs_causal | needs_win | general)
-
     def scores():
         return jax.lax.dot_general(
             q_scaled(), k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    def iotas():
-        rows_g = (qi * bm + q_off +
-                  jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0))
-        cols_g = (block * bn + kv_off +
-                  jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1))
-        return rows_g, cols_g
-
-    @pl.when(valid & fast)
-    def _body_fast():
-        softmax_update(scores(), v_ref[0], guarded=False)
-
-    @pl.when(valid & causal_only)
-    def _body_causal():
-        rows_g, cols_g = iotas()
-        s = jnp.where(cols_g <= rows_g, scores(), NEG_INF)
-        softmax_update(s, v_ref[0], guarded=True)
-
-    @pl.when(valid & window_only)
-    def _body_window():
-        rows_g, cols_g = iotas()
-        win = cols_g >= rows_g - window + 1
-        if not sink_tile and num_sink > 0:
-            win |= cols_g < num_sink
-        s = jnp.where(win, scores(), NEG_INF)
-        softmax_update(s, v_ref[0], guarded=True)
-
-    @pl.when(valid & general)
-    def _body_general():
-        rows_g, cols_g = iotas()
-        mask = _block_mask(rows_g, cols_g, num_sink, window, off_ref[2])
-        if sink_tile:
-            mask &= cols_g >= num_sink  # sink cols handled by the sink tile
-        mask &= ((rows_g - q_off < n_q) & (cols_g - kv_off < n_kv))
-        s = jnp.where(mask, scores(), NEG_INF)
-        softmax_update(s, v_ref[0], guarded=True)
+    # Specialized mask branches (fast / causal-only / window-only / general)
+    # selected by per-tile scalar conditions — see _branch_masks.
+    for cond, mask_fn in _branch_masks(
+            qi, block, q_off, kv_off, off_ref[2], bm=bm, bn=bn,
+            num_sink=num_sink, window=window, n_q=n_q, n_kv=n_kv,
+            sink_tile=sink_tile):
+        @pl.when(valid & cond)
+        def _body(mask_fn=mask_fn):
+            s = scores()
+            if mask_fn is not None:
+                s = jnp.where(mask_fn(), s, NEG_INF)
+            softmax_update(s, v_ref[0], guarded=mask_fn is not None)
 
     @pl.when(step == steps - 1)
     def _finalize():
@@ -350,35 +361,33 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
         window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
 
-    @pl.when(valid)
-    def _body():
-        k = k_ref[0]
-        v = v_ref[0]
-        do = do_ref[0]
-        lse = lse_ref[0, 0].astype(jnp.float32) * LOG2E  # [bm], exp2 domain
-        delta = delta_ref[0, 0].astype(jnp.float32)  # [bm]
+    for cond, mask_fn in _branch_masks(
+            qi, block, q_off, kv_off, off_ref[2], bm=bm, bn=bn,
+            num_sink=num_sink, window=window, n_q=n_q, n_kv=n_kv,
+            sink_tile=sink_tile):
+        @pl.when(valid & cond)
+        def _body(mask_fn=mask_fn):
+            k = k_ref[0]
+            v = v_ref[0]
+            do = do_ref[0]
+            lse = lse_ref[0, 0].astype(jnp.float32) * LOG2E  # exp2 domain
+            delta = delta_ref[0, 0].astype(jnp.float32)  # [bm]
 
-        s = jax.lax.dot_general(
-            q_scaled(), k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        rows_l = qi * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
-        cols_l = block * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window,
-                           off_ref[2])
-        if sink_tile:
-            mask &= cols_l + kv_off >= num_sink  # handled by the sink tile
-        mask &= (rows_l < n_q) & (cols_l < n_kv)
-
-        # p == 0 on masked lanes, so ds needs no second mask (dp - delta is
-        # always finite).
-        p = jnp.where(mask, jnp.exp2(s - lse[:, None]), 0.0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        acc_ref[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            s = jax.lax.dot_general(
+                q_scaled(), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # p == 0 on masked lanes, so ds needs no second mask
+            # (dp - delta is always finite).
+            p = jnp.exp2(s - lse[:, None])
+            if mask_fn is not None:
+                p = jnp.where(mask_fn(), p, 0.0)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta[:, None])
+            acc_ref[...] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(step == steps - 1)
     def _finalize():
@@ -433,39 +442,40 @@ def _dkdv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         ni, step, q_off, kv_off, bm=bm, bn=bn, num_sink=num_sink,
         window=window, n_kv=n_kv, n_q_blocks=n_q_blocks, sink_pass=sink_pass)
 
-    @pl.when(valid)
-    def _body():
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        do = do_ref[0]
-        lse = lse_ref[0, 0].astype(jnp.float32) * LOG2E
-        delta = delta_ref[0, 0].astype(jnp.float32)
+    for cond, mask_fn in _branch_masks(
+            q_block, ni, q_off, kv_off, off_ref[2], bm=bm, bn=bn,
+            num_sink=num_sink, window=window, n_q=n_q, n_kv=n_kv,
+            sink_tile=False):
+        @pl.when(valid & cond)
+        def _body(mask_fn=mask_fn):
+            q = q_ref[0]
+            k = k_ref[0]
+            v = v_ref[0]
+            do = do_ref[0]
+            lse = lse_ref[0, 0].astype(jnp.float32) * LOG2E
+            delta = delta_ref[0, 0].astype(jnp.float32)
 
-        s = jax.lax.dot_general(
-            (q * (scale * LOG2E)).astype(q.dtype), k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [bm, bn]
-        rows_l = q_block * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
-        cols_l = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-        mask = _block_mask(rows_l + q_off, cols_l + kv_off, num_sink, window,
-                           off_ref[2])
-        mask &= (rows_l < n_q) & (cols_l < n_kv)
-
-        # p == 0 on masked lanes, so ds needs no second mask (dp - delta is
-        # always finite).
-        p = jnp.where(mask, jnp.exp2(s - lse[:, None]), 0.0)
-        # dV += P^T @ dO
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        # dK += dS^T @ Q  (scale applied at flush)
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            s = jax.lax.dot_general(
+                (q * (scale * LOG2E)).astype(q.dtype), k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [bm, bn]
+            # p == 0 on masked lanes, so ds needs no second mask
+            # (dp - delta is always finite).
+            p = jnp.exp2(s - lse[:, None])
+            if mask_fn is not None:
+                p = jnp.where(mask_fn(), p, 0.0)
+            # dV += P^T @ dO
+            dv_acc[...] += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta[:, None])
+            # dK += dS^T @ Q  (scale applied at flush)
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when((g == group - 1) & (step == q_steps - 1))
     def _finalize():
