@@ -142,31 +142,35 @@ def engine_table():
 
     print("\n=== Continuous batching decode throughput "
           "(gpt-oss-20b geometry, 4 layers) ===")
-    print(f"{'slots':>6} {'quant':>6} {'ms/step':>9} {'tok/s/chip':>11}")
+    print(f"{'slots':>6} {'quant':>6} {'chunk':>6} {'ms/tok':>9} "
+          f"{'tok/s/chip':>11}")
     cfg = ModelConfig.gpt_oss_20b(num_layers=4)
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     prompt = list(range(1, 65))
     for max_batch in (1, 8):
         for quant in (None, "int8"):
-            eng = ContinuousBatchingEngine(
-                params, cfg, max_batch=max_batch, max_len=4096,
-                prefill_bucket=64, dtype=jnp.bfloat16, quant=quant)
-            for _ in range(max_batch):
-                eng.submit(prompt, max_new_tokens=1 << 30)
-            eng.step()  # admits + compiles prefill
-            for _ in range(3):
-                eng.step()  # compile decode + warm up
-            n = 50
-            t0 = time.perf_counter()
-            for _ in range(n):
-                eng.step()
-            dt = (time.perf_counter() - t0) / n
-            tps = max_batch / dt
-            RESULTS["engine"].append(
-                {"slots": max_batch, "quant": quant or "bf16",
-                 "ms_per_step": dt * 1e3, "tokens_per_s": tps})
-            print(f"{max_batch:>6} {str(quant or 'bf16'):>6} "
-                  f"{dt*1e3:>9.2f} {tps:>11.1f}")
+            for chunk in (1, 32):
+                eng = ContinuousBatchingEngine(
+                    params, cfg, max_batch=max_batch, max_len=4096,
+                    prefill_bucket=64, dtype=jnp.bfloat16, quant=quant)
+                for _ in range(max_batch):
+                    eng.submit(prompt, max_new_tokens=1 << 30)
+                step = (lambda: eng.step_chunk(chunk)) if chunk > 1 else (
+                    eng.step)
+                step()  # admits + compiles prefill + decode
+                step()  # warm
+                n = max(2, 64 // chunk)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    step()
+                dt = (time.perf_counter() - t0) / (n * chunk)
+                tps = max_batch / dt
+                RESULTS["engine"].append(
+                    {"slots": max_batch, "quant": quant or "bf16",
+                     "chunk": chunk, "ms_per_tok": dt * 1e3,
+                     "tokens_per_s": tps})
+                print(f"{max_batch:>6} {str(quant or 'bf16'):>6} "
+                      f"{chunk:>6} {dt*1e3:>9.2f} {tps:>11.1f}")
 
 
 if __name__ == "__main__":

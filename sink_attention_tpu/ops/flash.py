@@ -637,7 +637,7 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
 
 
 def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
-              interpret, aligned=False, kv_starts_at_zero=False):
+              interpret, aligned=False, kv_starts_at_zero=False, dlse=None):
     if interpret is None:
         interpret = _default_interpret()
     qp, kp, vp, dims = _prep(q, k, v, bm, bn)
@@ -657,6 +657,12 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
 
     # delta = sum_d dO * O in fp32 (reference :582)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        # When the LSE output also carries a cotangent (partial-merging /
+        # ring-attention training), dlse folds into delta: d(lse)/ds_j is
+        # p_j, so ds_j = p_j (dp_j - (delta - dlse)).
+        assert s_aux is None, "dlse path is for s_aux-free chunk partials"
+        delta = delta - dlse.astype(jnp.float32)
     delta_p = pack_rowvec(delta)
     lse_p = pack_rowvec(lse)
 
@@ -913,6 +919,31 @@ def sink_flash_attention_with_lse(q, k, v, num_sink: int = 4,
                      interpret, aligned, kv_starts_at_zero=kv_offset == 0)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _sink_attn_chunk(q, k, v, offsets, num_sink, window, bm, bn, interpret):
+    return _fwd_impl(q, k, v, None, offsets, num_sink, window, bm, bn,
+                     interpret, aligned=False)
+
+
+def _sink_attn_chunk_fwd(q, k, v, offsets, num_sink, window, bm, bn,
+                         interpret):
+    o, lse = _fwd_impl(q, k, v, None, offsets, num_sink, window, bm, bn,
+                       interpret, aligned=False)
+    return (o, lse), (q, k, v, offsets, o, lse)
+
+
+def _sink_attn_chunk_bwd(num_sink, window, bm, bn, interpret, res, g):
+    q, k, v, offsets, o, lse = res
+    do, dlse = g
+    dq, dk, dv, _ = _bwd_impl(
+        q, k, v, None, offsets, o, lse, do, num_sink, window, bm, bn,
+        interpret, aligned=False, dlse=dlse)
+    return dq, dk, dv, None
+
+
+_sink_attn_chunk.defvjp(_sink_attn_chunk_fwd, _sink_attn_chunk_bwd)
+
+
 def sink_flash_attention_chunk(q, k, v, offsets, num_sink: int = 4,
                                window_size: int = 512,
                                block_q: int | None = None,
@@ -920,14 +951,18 @@ def sink_flash_attention_chunk(q, k, v, offsets, num_sink: int = 4,
                                interpret: bool | None = None):
     """Rectangular chunk attention with *traced* [q_offset, kv_offset].
 
-    Forward-only; returns (out, lse) partials for ``merge_partials`` (ring
-    attention / chunked prefill). s_aux must be folded in at merge time so it
-    is counted exactly once across chunks.
+    Returns (out, lse) partials for ``merge_partials`` (ring attention /
+    sequence-parallel halos / chunked prefill). s_aux must be folded in at
+    merge time so it is counted exactly once across chunks.
+
+    Differentiable: the VJP accepts cotangents for BOTH outputs — the lse
+    cotangent produced by a downstream log-sum-exp merge folds into the
+    backward's delta term — so ring/SP attention trains end-to-end.
     """
     bm, bn = _block_sizes(q.shape[2], k.shape[2], block_q, block_kv,
                           q.shape[3], q.dtype)
-    return _fwd_impl(q, k, v, None, offsets, num_sink, window_size, bm, bn,
-                     interpret, aligned=False)
+    return _sink_attn_chunk(q, k, v, offsets, num_sink, window_size, bm, bn,
+                            interpret)
 
 
 def merge_partials(outs, lses, s_aux=None):

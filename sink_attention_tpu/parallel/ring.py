@@ -29,7 +29,7 @@ def ring_sink_flash_attention(q_local, k_local, v_local, num_sink: int = 4,
                               window_size: int = 512, s_aux=None,
                               axis_name: str = "seq",
                               interpret: Optional[bool] = None):
-    """Exact ring sink attention (forward).
+    """Exact ring sink attention (differentiable — trains under CP).
 
     Args (inside shard_map over ``axis_name``):
         q_local, k_local, v_local: [B, H, N/n_dev, D] contiguous chunks

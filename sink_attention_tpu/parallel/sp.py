@@ -81,8 +81,10 @@ def sp_sink_flash_attention(q_local, k_local, v_local, num_sink: int = 4,
       3. sink partial over shard 0's sink KV (broadcast via psum);
       4. log-sum-exp merge of the partials, with s_aux folded in once.
 
-    Gradient support for the traced-offset chunk kernel lands in a later
-    round; use Ulysses (parallel/ulysses.py) for SP training today.
+    Differentiable end-to-end: the chunk kernel's VJP folds the merge's
+    lse cotangent into its delta term, and the sink broadcast's transpose
+    IS the sink-grad all-reduce the reference does by hand
+    (reduce_sink_kv_grads, sp_utils.py:81-129).
     """
     B, H_kv, n_local, D = k_local.shape
     n_dev = jax.lax.axis_size(axis_name)

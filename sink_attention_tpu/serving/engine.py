@@ -111,8 +111,26 @@ class ContinuousBatchingEngine:
             nxt = self._sample(logits[:, -1], key)
             return caches, jnp.where(active, nxt, toks)
 
+        @functools.partial(jax.jit, static_argnums=5)
+        def _decode_chunk(params, caches, toks, active, key, n):
+            """n decode steps in one lax.scan — one host round-trip for n
+            tokens per slot (host sync dominates per-step serving cost)."""
+            def body(carry, k):
+                caches, toks = carry
+                positions = caches[0].seen
+                logits, caches = forward_decode_ragged(
+                    params, cfg_, toks[:, None], caches, positions, active,
+                    interpret=interp)
+                nxt = self._sample(logits[:, -1], k)
+                nxt = jnp.where(active, nxt, toks)
+                return (caches, nxt), nxt
+            keys = jax.random.split(key, n)
+            (caches, toks), seq = jax.lax.scan(body, (caches, toks), keys)
+            return caches, toks, seq.T  # [B, n]
+
         self._prefill_fn = _prefill
         self._decode_fn = _decode
+        self._decode_chunk_fn = _decode_chunk
 
     # -- sampling -----------------------------------------------------------
 
@@ -198,14 +216,61 @@ class ContinuousBatchingEngine:
             self._finish_if_done(slot, tok)
         return out
 
-    def run(self) -> Dict[int, List[int]]:
-        """Drain the queue and all active slots; return all generations."""
+    def step_chunk(self, n: int) -> Dict[int, List[int]]:
+        """Admit + ``n`` decode steps in ONE device round-trip.
+
+        Serving cost per token is dominated by the host sync in
+        :meth:`step` (the decode kernel itself is ~0.1 ms); chunking
+        amortizes it n-fold. Tradeoff: a slot that hits EOS mid-chunk keeps
+        decoding until the chunk ends (the extra tokens are discarded and
+        the slot's admission is delayed by < n steps).
+
+        Returns {rid: [tokens kept this chunk]}.
+        """
+        self._admit()
+        active_py = [r is not None for r in self._slots]
+        if not any(active_py):
+            return {}
+        active = jnp.asarray(active_py)
+        self.key, sub = jax.random.split(self.key)
+        self.caches, self.toks, seq = self._decode_chunk_fn(
+            self.params, self.caches, self.toks, active, sub, n)
+        seq_host = jax.device_get(seq)  # [B, n]
+        out: Dict[int, List[int]] = {}
+        for slot, is_active in enumerate(active_py):
+            if not is_active:
+                continue
+            req = self._slots[slot]
+            kept = []
+            for tok in (int(t) for t in seq_host[slot]):
+                req.tokens.append(tok)
+                kept.append(tok)
+                if ((req.eos_id is not None and tok == req.eos_id) or
+                        len(req.tokens) >= req.max_new_tokens):
+                    req.done = True
+                    break
+            out[req.rid] = kept
+            if req.done:
+                self._slots[slot] = None
+                for li in range(len(self.caches)):
+                    self.caches[li] = self.caches[li].clear(jnp.int32(slot))
+        return out
+
+    def run(self, chunk: int = 1) -> Dict[int, List[int]]:
+        """Drain the queue and all active slots; return all generations.
+
+        ``chunk > 1`` decodes that many tokens per host round-trip
+        (see :meth:`step_chunk`).
+        """
         finished: Dict[int, List[int]] = {}
         all_reqs: List[Request] = []
         pending = list(self._queue) + [r for r in self._slots if r]
         all_reqs.extend(pending)
         while self._queue or self.active_count:
-            self.step()
+            if chunk > 1:
+                self.step_chunk(chunk)
+            else:
+                self.step()
         for req in all_reqs:
             finished[req.rid] = req.tokens
         return finished

@@ -190,6 +190,27 @@ def test_engine_matches_sequential_greedy():
             i, results[rid], expected[i])
 
 
+def test_engine_chunked_matches_stepwise():
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    prompts = [[5, 9, 2], [7, 1, 30, 11, 8, 4, 22], [3] * 20]
+
+    def serve(chunk):
+        eng = ContinuousBatchingEngine(params, cfg, max_batch=2, max_len=64,
+                                       prefill_bucket=16, dtype=jnp.float32)
+        rids = {eng.submit(p, max_new_tokens=9): i
+                for i, p in enumerate(prompts)}
+        res = eng.run(chunk=chunk)
+        return {rids[r]: t for r, t in res.items()}
+
+    assert serve(1) == serve(4)
+
+
 def test_engine_eos_frees_slot():
     from sink_attention_tpu.models import ModelConfig, init_params
     from sink_attention_tpu.serving import ContinuousBatchingEngine

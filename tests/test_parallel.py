@@ -162,3 +162,66 @@ def test_ring_window_spans_many_shards():
     ref = eager_sink_attention(q, k, v, num_sink=4, window_size=512)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-3)
+
+
+def test_ring_gradients():
+    """Chunked-kernel VJP (lse cotangent folded into delta) makes ring
+    attention trainable — grads must match the single-device kernel."""
+    n_dev = 2
+    mesh = seq_mesh(n_dev)
+    B, H_q, H_kv, N, D = 1, 4, 2, 256, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(8), B, H_q, H_kv, N, D)
+    s_aux = jax.random.normal(jax.random.PRNGKey(9), (H_q,))
+
+    ring_fn = jax.shard_map(
+        lambda q, k, v, aux: ring_sink_flash_attention(
+            q, k, v, num_sink=4, window_size=96, s_aux=aux,
+            axis_name="seq"),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3 + (P(),),
+        out_specs=P(None, None, "seq", None), check_vma=False)
+
+    def loss_ring(q, k, v, aux):
+        return jnp.sum(ring_fn(q, k, v, aux) ** 2)
+
+    def loss_ref(q, k, v, aux):
+        return jnp.sum(sink_flash_attention(
+            q, k, v, num_sink=4, window_size=96, s_aux=aux) ** 2)
+
+    g_sp = jax.jit(jax.grad(loss_ring, (0, 1, 2, 3)))(q, k, v, s_aux)
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, s_aux)
+    for name, a, b in zip("q k v aux".split(), g_sp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
+def test_sp_gradients():
+    """Halo-SP attention grads: the sink-KV grad reduction happens through
+    the psum-broadcast transpose (reference does it by hand with
+    dist.all_reduce — sp_utils.py:81-129)."""
+    n_dev = 4
+    mesh = seq_mesh(n_dev)
+    B, H_q, H_kv, N, D = 1, 4, 2, 512, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(10), B, H_q, H_kv, N, D)
+    s_aux = jax.random.normal(jax.random.PRNGKey(11), (H_q,))
+
+    sp_fn = jax.shard_map(
+        lambda q, k, v, aux: sp_sink_flash_attention(
+            q, k, v, num_sink=4, window_size=64, s_aux=aux,
+            axis_name="seq"),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3 + (P(),),
+        out_specs=P(None, None, "seq", None), check_vma=False)
+
+    def loss_sp(q, k, v, aux):
+        return jnp.sum(sp_fn(q, k, v, aux) ** 2)
+
+    def loss_ref(q, k, v, aux):
+        return jnp.sum(sink_flash_attention(
+            q, k, v, num_sink=4, window_size=64, s_aux=aux) ** 2)
+
+    g_sp = jax.jit(jax.grad(loss_sp, (0, 1, 2, 3)))(q, k, v, s_aux)
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, s_aux)
+    for name, a, b in zip("q k v aux".split(), g_sp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3, err_msg=name)
