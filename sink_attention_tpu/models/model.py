@@ -217,14 +217,28 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     weights = jax.nn.softmax(vals, axis=-1)
 
     if T * cfg.experts_per_tok <= cfg.num_experts:
-        gu = jnp.take(p["gate_up"], idx, axis=0).astype(xt.dtype)
-        gub = jnp.take(p["gate_up_b"], idx, axis=0).astype(xt.dtype)
-        gate_up = jnp.einsum("th,tkhi->tki", xt, gu) + gub
-        act = _glu_act(gate_up)
-        dw = jnp.take(p["down"], idx, axis=0).astype(act.dtype)
-        dwb = jnp.take(p["down_b"], idx, axis=0).astype(act.dtype)
-        outk = jnp.einsum("tki,tkih->tkh", act, dw) + dwb
-        out = jnp.einsum("tkh,tk->th", outk, weights.astype(outk.dtype))
+        # Unrolled dynamic slices, NOT jnp.take: XLA lowers a batched
+        # gather of big rows to a one-hot contraction on TPU, which reads
+        # EVERY expert's weights — defeating the point. dynamic_index with
+        # a traced scalar reads only the routed slice.
+        out = jnp.zeros((T, H), jnp.float32)
+        for t in range(T):
+            xtt = xt[t]
+            acc = jnp.zeros((H,), jnp.float32)
+            for kk in range(cfg.experts_per_tok):
+                e = idx[t, kk]
+                gu = jax.lax.dynamic_index_in_dim(
+                    p["gate_up"], e, keepdims=False).astype(xtt.dtype)
+                gub = jax.lax.dynamic_index_in_dim(
+                    p["gate_up_b"], e, keepdims=False).astype(xtt.dtype)
+                act = _glu_act(xtt @ gu + gub)
+                dw = jax.lax.dynamic_index_in_dim(
+                    p["down"], e, keepdims=False).astype(act.dtype)
+                dwb = jax.lax.dynamic_index_in_dim(
+                    p["down_b"], e, keepdims=False).astype(act.dtype)
+                acc = acc + weights[t, kk] * (act @ dw + dwb).astype(
+                    jnp.float32)
+            out = out.at[t].set(acc)
         return out.reshape(B, N, H).astype(x.dtype)
 
     routing = jnp.zeros((T, cfg.num_experts), jnp.float32)
