@@ -107,10 +107,13 @@ class SinkKVCache:
         d_pad = d_pad or _round_up(head_dim, LANES)
         store_dtype = QUANT_DTYPE[quant] if quant else dtype
         shape = (batch, num_kv_heads, s_total, d_pad)
-        zeros = jnp.zeros(shape, store_dtype)
-        ones = jnp.ones((batch, num_kv_heads, s_total), jnp.float32)
+        # distinct buffers: aliased k/v break buffer donation downstream
+        zk = jnp.zeros(shape, store_dtype)
+        zv = jnp.zeros(shape, store_dtype)
+        ok = jnp.ones((batch, num_kv_heads, s_total), jnp.float32)
+        ov = jnp.ones((batch, num_kv_heads, s_total), jnp.float32)
         z = jnp.zeros((), jnp.int32)
-        return cls(k=zeros, v=zeros, k_scale=ones, v_scale=ones,
+        return cls(k=zk, v=zv, k_scale=ok, v_scale=ov,
                    sink_len=z, window_len=z, write_pos=z, seen=z,
                    num_sink=num_sink, window_size=window_size,
                    sink_cap=sink_cap, window_cap=window_cap, quant=quant)

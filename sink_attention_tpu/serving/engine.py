@@ -92,6 +92,10 @@ class ContinuousBatchingEngine:
         cfg_ = cfg
         interp = interpret
 
+        # NOTE: no donate_argnums on caches — XLA CSEs identical
+        # outputs (k_scale == v_scale when unquantized) into one
+        # buffer, which a later donated call then flags as 'donated
+        # twice'. The copy cost is amortized away by step_chunk.
         @jax.jit
         def _prefill(params, caches, ids, true_len, slot):
             logits, kvs = forward_prefill(params, cfg_, ids,
