@@ -135,3 +135,22 @@ def test_generate_matches_teacher_forcing():
     # token t (position 8 + i) must be the argmax at position 7 + i
     for i in range(4):
         assert preds[0, 7 + i] == toks[0, i], (i, preds[0, 7 + i], toks[0, i])
+
+
+def test_moe_gather_matches_dense():
+    """The decode-time gather-top-k MoE path must equal the dense-all-
+    experts formulation (same routing, same activation)."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.models.model import moe
+
+    cfg = ModelConfig.tiny(num_experts=8, experts_per_tok=2,
+                           hidden_size=32, num_layers=1)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    mlp = params["layers"][0]["mlp"]
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (1, 1, cfg.hidden_size))
+    # T=1, T*k=2 <= E=8 -> gather path
+    out_gather = moe(mlp, cfg, x1)
+    # T=5 identical rows, T*k=10 > 8 -> dense path; row 0 must match
+    out_dense = moe(mlp, cfg, jnp.tile(x1, (1, 5, 1)))[:, :1]
+    np.testing.assert_allclose(np.asarray(out_gather),
+                               np.asarray(out_dense), atol=1e-5, rtol=1e-5)
