@@ -30,6 +30,9 @@ from .ops import (
     sink_flash_attention_with_lse,
     sink_flash_attention_chunk,
     merge_partials,
+    eager_sink_attention_packed,
+    packed_sink_window_mask,
+    sink_flash_attention_packed,
     sink_decode_attention,
     sink_decode_attention_cached,
     sink_decode_attention_ragged,
@@ -62,6 +65,9 @@ __all__ = [
     "sink_flash_attention_with_lse",
     "sink_flash_attention_chunk",
     "merge_partials",
+    "eager_sink_attention_packed",
+    "packed_sink_window_mask",
+    "sink_flash_attention_packed",
     "sink_decode_attention",
     "sink_decode_attention_cached",
     "sink_decode_attention_ragged",

@@ -19,6 +19,8 @@ the GPU package find every entry point:
 | patch_verl_with_sink_attention / unpatch_verl — no monkey-patching on   |
 |   TPU: the model layer is owned (models.forward_prefill uses the kernel |
 |   natively). For training integration use models + parallel.train.     |
+|   Packed (varlen) batches — where the reference falls back to stock    |
+|   FA (verl_patch.py:73-93) — use ops.sink_flash_attention_packed.      |
 | patch_for_generation / unpatch_generation — replaced by the owned      |
 |   generate loop: serving.greedy_generate / prefill_and_caches.         |
 | subprocess_generate          | serving.subprocess_eval.subprocess_generate |

@@ -74,6 +74,65 @@ def eager_sink_attention(
     Returns:
         out [B, H_q, N_q, D] in q.dtype (and lse if requested).
     """
+    mask = sink_window_mask(q.shape[2], k.shape[2], num_sink, window_size,
+                            q_offset, kv_offset)
+    return _eager_attend(q, k, v, mask[None, None], s_aux, return_lse)
+
+
+def packed_sink_window_mask(positions: jax.Array, num_sink: int,
+                            window_size: int) -> jax.Array:
+    """Boolean [B, n, n] mask for a packed (multi-segment) batch row.
+
+    ``positions`` [B, n] holds each token's position *within its segment*
+    (resetting to 0 at every segment start). With segment starts
+    ``s_i = i - positions_i`` the packed mask is
+
+        valid(i, j) = (j <= i) AND (j >= s_i)
+                      AND (j < s_i + num_sink OR j >= i - window_size + 1)
+
+    — ``j >= s_i`` together with causality already implies same-segment
+    membership (segments are contiguous), so only row-side segment starts
+    are needed. This is the oracle for ``sink_flash_attention_packed``;
+    the reference package has no packed support (it falls back to stock
+    flash attention — /root/reference/sink_attention/verl_patch.py:73-93).
+    """
+    n = positions.shape[-1]
+    idx = jnp.arange(n, dtype=positions.dtype)
+    s = idx[None, :] - positions  # [B, n] segment starts
+    i = idx[None, :, None]
+    j = idx[None, None, :]
+    s_i = s[:, :, None]
+    causal = j <= i
+    in_seg = j >= s_i
+    sink = j < s_i + num_sink
+    window = j >= i - window_size + 1
+    return causal & in_seg & (sink | window)
+
+
+def eager_sink_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    positions: jax.Array,
+    num_sink: int = 4,
+    window_size: int = 512,
+    s_aux: jax.Array | None = None,
+    return_lse: bool = False,
+):
+    """Eager sink attention over a packed (multi-segment) batch.
+
+    q: [B, H_q, N, D]; k, v: [B, H_kv, N, D]; positions: [B, N] segment-local
+    token positions. Each segment gets its own sinks (its first ``num_sink``
+    tokens) and its own causal sliding window; tokens never attend across
+    segment boundaries.
+    """
+    assert q.shape[2] == k.shape[2], (q.shape, k.shape)
+    mask = packed_sink_window_mask(positions, num_sink, window_size)
+    return _eager_attend(q, k, v, mask[:, None], s_aux, return_lse)
+
+
+def _eager_attend(q, k, v, mask, s_aux, return_lse):
+    """Shared masked-softmax attention body. mask: [B|1, 1, N_q, N_kv]."""
     B, H_q, N_q, D = q.shape
     H_kv, N_kv = k.shape[1], k.shape[2]
     assert H_q % H_kv == 0, (H_q, H_kv)
@@ -91,9 +150,8 @@ def eager_sink_attention(
     # default matmul precision is bf16-based).
     scores = jnp.einsum("bhqd,bhkd->bhqk", qf * scale, kf,
                         precision=jax.lax.Precision.HIGHEST)
-    mask = sink_window_mask(N_q, N_kv, num_sink, window_size, q_offset, kv_offset)
     neg_inf = jnp.float32(-jnp.inf)
-    scores = jnp.where(mask[None, None], scores, neg_inf)
+    scores = jnp.where(mask, scores, neg_inf)
 
     if s_aux is not None:
         aux = s_aux.astype(jnp.float32).reshape(1, H_q, 1, 1)
