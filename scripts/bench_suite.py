@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import json
+import gc
 import time
 
 import jax
@@ -142,8 +143,8 @@ def engine_table():
 
     print("\n=== Continuous batching decode throughput "
           "(gpt-oss-20b geometry, 4 layers) ===")
-    print(f"{'slots':>6} {'quant':>6} {'chunk':>6} {'ms/tok':>9} "
-          f"{'tok/s/chip':>11}")
+    print(f"{'slots':>6} {'kv':>6} {'weights':>7} {'chunk':>6} "
+          f"{'ms/tok':>9} {'tok/s/chip':>11}")
     cfg = ModelConfig.gpt_oss_20b(num_layers=4)
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     prompt = list(range(1, 65))
@@ -153,24 +154,46 @@ def engine_table():
                 eng = ContinuousBatchingEngine(
                     params, cfg, max_batch=max_batch, max_len=4096,
                     prefill_bucket=64, dtype=jnp.bfloat16, quant=quant)
-                for _ in range(max_batch):
-                    eng.submit(prompt, max_new_tokens=1 << 30)
-                step = (lambda: eng.step_chunk(chunk)) if chunk > 1 else (
-                    eng.step)
-                step()  # admits + compiles prefill + decode
-                step()  # warm
-                n = max(2, 64 // chunk)
-                t0 = time.perf_counter()
-                for _ in range(n):
-                    step()
-                dt = (time.perf_counter() - t0) / (n * chunk)
-                tps = max_batch / dt
-                RESULTS["engine"].append(
-                    {"slots": max_batch, "quant": quant or "bf16",
-                     "chunk": chunk, "ms_per_tok": dt * 1e3,
-                     "tokens_per_s": tps})
-                print(f"{max_batch:>6} {str(quant or 'bf16'):>6} "
-                      f"{chunk:>6} {dt*1e3:>9.2f} {tps:>11.1f}")
+                _run_engine(eng, max_batch, quant or "bf16", "bf16", chunk,
+                            prompt)
+                del eng
+                gc.collect()
+    # INT8 *weights* (decode is weight-bandwidth-bound at small batch).
+    # Quantize on HOST to avoid a ~15 GB on-device transient (bf16 weights
+    # + fp32 temporaries + int8 copies) on the 16 GB chip.
+    from sink_attention_tpu.models import quantize_params
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        host_params = jax.device_get(params)
+        qparams = quantize_params(host_params)
+    del params, host_params
+    gc.collect()
+    qparams = jax.device_put(qparams, jax.devices()[0])
+    for max_batch in (1, 8):
+        eng = ContinuousBatchingEngine(
+            qparams, cfg, max_batch=max_batch, max_len=4096,
+            prefill_bucket=64, dtype=jnp.bfloat16)
+        _run_engine(eng, max_batch, "bf16", "int8", 32, prompt)
+        del eng
+        gc.collect()
+
+
+def _run_engine(eng, max_batch, kv_quant, w_quant, chunk, prompt):
+    for _ in range(max_batch):
+        eng.submit(prompt, max_new_tokens=1 << 30)
+    step = (lambda: eng.step_chunk(chunk)) if chunk > 1 else eng.step
+    step()  # admits + compiles prefill + decode
+    step()  # warm
+    n = max(2, 64 // chunk)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        step()
+    dt = (time.perf_counter() - t0) / (n * chunk)
+    tps = max_batch / dt
+    RESULTS["engine"].append(
+        {"slots": max_batch, "kv": kv_quant, "weights": w_quant,
+         "chunk": chunk, "ms_per_tok": dt * 1e3, "tokens_per_s": tps})
+    print(f"{max_batch:>6} {kv_quant:>6} {w_quant:>7} "
+          f"{chunk:>6} {dt*1e3:>9.2f} {tps:>11.1f}")
 
 
 if __name__ == "__main__":

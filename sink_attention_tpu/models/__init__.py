@@ -12,6 +12,7 @@ from .model import (
     moe,
 )
 from .hf_loader import params_from_hf_state_dict, load_hf_checkpoint
+from .quant import quantize_params, quantize_weight, is_quantized
 
 __all__ = [
     "ModelConfig",
@@ -27,4 +28,7 @@ __all__ = [
     "moe",
     "params_from_hf_state_dict",
     "load_hf_checkpoint",
+    "quantize_params",
+    "quantize_weight",
+    "is_quantized",
 ]

@@ -30,9 +30,46 @@ import jax.numpy as jnp
 from ..cache import SinkKVCache
 from ..ops import sink_flash_attention, sink_decode_attention_cached
 from .config import ModelConfig
+from .quant import is_quantized
 
 ALPHA = 1.702  # gpt-oss glu activation alpha
 LIMIT = 7.0    # gpt-oss activation clamp
+
+
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul accepting plain or int8-quantized ({"q","s"}) weights.
+
+    Quantized: ``(x @ q.astype(x.dtype)) * s`` — XLA fuses the int8->bf16
+    convert into the dot's operand read, so only int8 bytes cross HBM
+    (the point of weight-only quantization; see models.quant).
+    """
+    if is_quantized(w):
+        return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
+    return x @ w.astype(x.dtype)
+
+
+def _expert_mm(x: jax.Array, w, eq: str) -> jax.Array:
+    """Einsum over stacked expert weights, plain or quantized."""
+    if is_quantized(w):
+        return (jnp.einsum(eq, x, w["q"].astype(x.dtype)) *
+                w["s"].astype(x.dtype))
+    return jnp.einsum(eq, x, w.astype(x.dtype))
+
+
+def _expert_slice(w, e):
+    """dynamic_index one expert's weight; returns (array, scale|None)."""
+    if is_quantized(w):
+        return (jax.lax.dynamic_index_in_dim(w["q"], e, keepdims=False),
+                jax.lax.dynamic_index_in_dim(w["s"], e, keepdims=False))
+    return jax.lax.dynamic_index_in_dim(w, e, keepdims=False), None
+
+
+def _embed_lookup(embed, ids: jax.Array) -> jax.Array:
+    if is_quantized(embed):
+        # the scale dtype IS the model compute dtype (models.quant)
+        ct = embed["s"].dtype
+        return embed["q"][ids].astype(ct) * embed["s"][ids].astype(ct)
+    return embed[ids].astype(embed.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -162,9 +199,9 @@ def _qkv(p: dict, cfg: ModelConfig, x: jax.Array):
     D = cfg.head_dim
 
     def proj(w, b, heads):
-        y = x @ w.astype(x.dtype)
+        y = _mm(x, w)
         if cfg.attention_bias:
-            y = y + b.astype(x.dtype)
+            y = y + b.astype(y.dtype)
         return y.reshape(B, N, heads, D).transpose(0, 2, 1, 3)
 
     q = proj(p["wq"], p["bq"], cfg.num_heads)
@@ -177,7 +214,7 @@ def _out_proj(p: dict, cfg: ModelConfig, attn: jax.Array) -> jax.Array:
     """attn: [B, HQ, N, D] -> [B, N, H]."""
     B, HQ, N, D = attn.shape
     y = attn.transpose(0, 2, 1, 3).reshape(B, N, HQ * D)
-    y = y @ p["wo"].astype(y.dtype)
+    y = _mm(y, p["wo"])
     if cfg.attention_bias:
         y = y + p["bo"].astype(y.dtype)
     return y
@@ -227,26 +264,30 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
             acc = jnp.zeros((H,), jnp.float32)
             for kk in range(cfg.experts_per_tok):
                 e = idx[t, kk]
-                gu = jax.lax.dynamic_index_in_dim(
-                    p["gate_up"], e, keepdims=False).astype(xtt.dtype)
+                gu, gu_s = _expert_slice(p["gate_up"], e)
                 gub = jax.lax.dynamic_index_in_dim(
                     p["gate_up_b"], e, keepdims=False).astype(xtt.dtype)
-                act = _glu_act(xtt @ gu + gub)
-                dw = jax.lax.dynamic_index_in_dim(
-                    p["down"], e, keepdims=False).astype(act.dtype)
+                pre = xtt @ gu.astype(xtt.dtype)
+                if gu_s is not None:
+                    pre = pre * gu_s[0].astype(pre.dtype)
+                act = _glu_act(pre + gub)
+                dw, dw_s = _expert_slice(p["down"], e)
                 dwb = jax.lax.dynamic_index_in_dim(
                     p["down_b"], e, keepdims=False).astype(act.dtype)
-                acc = acc + weights[t, kk] * (act @ dw + dwb).astype(
+                down = act @ dw.astype(act.dtype)
+                if dw_s is not None:
+                    down = down * dw_s[0].astype(down.dtype)
+                acc = acc + weights[t, kk] * (down + dwb).astype(
                     jnp.float32)
             out = out.at[t].set(acc)
         return out.reshape(B, N, H).astype(x.dtype)
 
     routing = jnp.zeros((T, cfg.num_experts), jnp.float32)
     routing = routing.at[jnp.arange(T)[:, None], idx].set(weights)
-    gate_up = jnp.einsum("th,ehi->eti", xt, p["gate_up"].astype(xt.dtype))
-    gate_up = gate_up + p["gate_up_b"].astype(xt.dtype)[:, None, :]
+    gate_up = _expert_mm(xt, p["gate_up"], "th,ehi->eti")
+    gate_up = gate_up + p["gate_up_b"].astype(gate_up.dtype)[:, None, :]
     act = _glu_act(gate_up)
-    out = jnp.einsum("eti,eih->eth", act, p["down"].astype(act.dtype))
+    out = _expert_mm(act, p["down"], "eti,eih->eth")
     out = out + p["down_b"].astype(out.dtype)[:, None, :]
     out = jnp.einsum("eth,te->th", out, routing.astype(out.dtype))
     return out.reshape(B, N, H).astype(x.dtype)
@@ -293,7 +334,7 @@ def forward_prefill(
     op (e.g. a shard_map'd Ulysses island for sharded training).
     """
     B, N = input_ids.shape
-    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    x = _embed_lookup(params["embed"], input_ids)
     if positions is None:
         positions = jnp.arange(N)
     cos, sin = rope_cos_sin(cfg, positions)
@@ -321,7 +362,7 @@ def forward_prefill(
         x = x + moe(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = x @ params["lm_head"].astype(x.dtype)
+    logits = _mm(x, params["lm_head"])
     return logits, (kvs if collect_kv else new_caches)
 
 
@@ -332,16 +373,22 @@ def forward_decode(
     caches: List[SinkKVCache],
     position: jax.Array,
     interpret: Optional[bool] = None,
+    attn_impl=None,
 ):
     """Single-token decode step. input_ids: [B, 1] -> logits [B, 1, V].
 
     Appends this token's KV to each layer cache and attends over the rolling
-    sink cache with the Pallas decode kernel.
+    sink cache with the Pallas decode kernel. ``attn_impl(q, cache, s_aux)``
+    overrides the decode attention (e.g. a shard_map island for
+    tensor-sharded serving — serving.sharded).
     """
     B = input_ids.shape[0]
-    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    x = _embed_lookup(params["embed"], input_ids)
     pos = jnp.broadcast_to(jnp.asarray(position).reshape(()), (1,))
     cos, sin = rope_cos_sin(cfg, pos)
+    if attn_impl is None:
+        attn_impl = functools.partial(sink_decode_attention_cached,
+                                      interpret=interpret)
 
     new_caches = []
     for li, lp in enumerate(params["layers"]):
@@ -350,16 +397,15 @@ def forward_decode(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         cache = caches[li].append(k, v)
-        attn = sink_decode_attention_cached(
-            q, cache, s_aux=lp["attn"]["sinks"].astype(jnp.float32),
-            interpret=interpret)
+        attn = attn_impl(
+            q, cache, s_aux=lp["attn"]["sinks"].astype(jnp.float32))
         new_caches.append(cache)
         x = x + _out_proj(lp["attn"], cfg, attn)
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         x = x + moe(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = x @ params["lm_head"].astype(x.dtype)
+    logits = _mm(x, params["lm_head"])
     return logits, new_caches
 
 
@@ -383,7 +429,7 @@ def forward_decode_ragged(
     from ..cache.ragged import RaggedSinkKVCache  # noqa: F401 (type)
     from ..ops import sink_decode_attention_ragged
 
-    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    x = _embed_lookup(params["embed"], input_ids)
     cos, sin = rope_cos_sin(cfg, positions[:, None])  # [B, 1, D/2]
 
     new_caches = []
@@ -402,7 +448,7 @@ def forward_decode_ragged(
         x = x + moe(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = x @ params["lm_head"].astype(x.dtype)
+    logits = _mm(x, params["lm_head"])
     return logits, new_caches
 
 
