@@ -159,15 +159,13 @@ def engine_table():
                 del eng
                 gc.collect()
     # INT8 *weights* (decode is weight-bandwidth-bound at small batch).
-    # Quantize on HOST to avoid a ~15 GB on-device transient (bf16 weights
-    # + fp32 temporaries + int8 copies) on the 16 GB chip.
+    # inplace=True quantizes tensor-by-tensor, freeing each bf16 source
+    # before the next — the functional variant peaks at bf16 + int8 +
+    # transients (~15 GB), which overflows the 16 GB chip.
     from sink_attention_tpu.models import quantize_params
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        host_params = jax.device_get(params)
-        qparams = quantize_params(host_params)
-    del params, host_params
+    qparams = quantize_params(params, inplace=True)
+    del params
     gc.collect()
-    qparams = jax.device_put(qparams, jax.devices()[0])
     for max_batch in (1, 8):
         eng = ContinuousBatchingEngine(
             qparams, cfg, max_batch=max_batch, max_len=4096,

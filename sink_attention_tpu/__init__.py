@@ -35,6 +35,7 @@ from .ops import (
     sink_flash_attention_packed,
     sink_decode_attention,
     sink_decode_attention_cached,
+    sink_decode_attention_cached_multi,
     sink_decode_attention_ragged,
 )
 from .cache import SinkKVCache, RaggedSinkKVCache
@@ -70,6 +71,7 @@ __all__ = [
     "sink_flash_attention_packed",
     "sink_decode_attention",
     "sink_decode_attention_cached",
+    "sink_decode_attention_cached_multi",
     "sink_decode_attention_ragged",
     # cache
     "SinkKVCache",

@@ -59,15 +59,32 @@ def _quantize_rowwise(w: jax.Array, scale_dtype: Any) -> dict:
 
 
 def quantize_params(params: dict, cfg=None,
-                    compute_dtype: Any = jnp.bfloat16) -> dict:
+                    compute_dtype: Any = jnp.bfloat16,
+                    inplace: bool = False) -> dict:
     """Quantize a model parameter pytree for serving.
 
     Returns a new pytree with the large weights replaced by
     ``{"q", "s"}`` dicts; all model forward functions accept either form.
     Scales are stored in ``compute_dtype``, which also sets the
     activation dtype of the quantized model's forward pass.
+
+    ``inplace=True`` overwrites entries of ``params`` one tensor at a
+    time, dropping each source array's last reference before quantizing
+    the next — peak device memory stays near max(original, int8) + one
+    tensor, instead of original + int8 + transients (which overflows a
+    16 GB chip for gpt-oss-geometry models). The mutated ``params`` IS
+    the returned tree.
     """
     qw = lambda w, **kw: quantize_weight(w, scale_dtype=compute_dtype, **kw)
+    if inplace:
+        params["embed"] = _quantize_rowwise(params["embed"], compute_dtype)
+        for lp in params["layers"]:
+            for name in ("wq", "wk", "wv", "wo"):
+                lp["attn"][name] = qw(lp["attn"][name])
+            lp["mlp"]["gate_up"] = qw(lp["mlp"]["gate_up"])
+            lp["mlp"]["down"] = qw(lp["mlp"]["down"])
+        params["lm_head"] = qw(params["lm_head"])
+        return params
     out = {
         "embed": _quantize_rowwise(params["embed"], compute_dtype),
         "final_norm": params["final_norm"],

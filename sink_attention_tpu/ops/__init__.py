@@ -9,6 +9,7 @@ from .flash import (
 )
 from .packed import sink_flash_attention_packed
 from .decode import (sink_decode_attention, sink_decode_attention_cached,
+                     sink_decode_attention_cached_multi,
                      sink_decode_attention_ragged)
 
 __all__ = [
@@ -23,5 +24,6 @@ __all__ = [
     "merge_partials",
     "sink_decode_attention",
     "sink_decode_attention_cached",
+    "sink_decode_attention_cached_multi",
     "sink_decode_attention_ragged",
 ]

@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..cache.sink_cache import SinkKVCache
 
 __all__ = ["sink_decode_attention", "sink_decode_attention_cached",
+           "sink_decode_attention_cached_multi",
            "sink_decode_attention_ragged"]
 
 NEG_INF = float("-inf")
@@ -304,3 +305,77 @@ def sink_decode_attention_ragged(q, cache, s_aux=None,
         sink_cap=cache.sink_cap, window_size=cache.window_size,
         scale=1.0 / (D**0.5), quantized=cache.quant is not None,
         block_s=block_s, interpret=interpret)
+
+
+def sink_decode_attention_cached_multi(q, k_new, v_new,
+                                       cache: SinkKVCache, s_aux=None):
+    """Multi-token decode attention (speculative-decoding verification).
+
+    ``q``/``k_new``/``v_new``: [B, H, T, D] — the T draft tokens. ``cache``
+    is the state BEFORE the draft tokens are appended: draft token t
+    (global position ``seen + t``) attends the sinks, the cached window
+    tokens still inside *its own* causal window, and draft tokens 0..t.
+    This matches sequential single-token decode exactly — including the
+    window tokens that appending all T drafts would have evicted from the
+    ring, which is why the pre-append cache is required. Returns
+    ``(out [B, H_q, T, D], cache_after)`` with the drafts appended, so
+    accepted-prefix rollback is the caller reverting to ``cache``.
+
+    The reference reaches the same state by looping single-token updates
+    (cache.py:176-183); here the whole verification batch is one fused XLA
+    call (T is small, so this is KV-bandwidth-bound — no Pallas needed).
+    Quantized caches are dequantized on read. Requires T <= window_size.
+    """
+    B, H_q, T, D = q.shape
+    H_kv = cache.k.shape[1]
+    assert H_q % H_kv == 0, (H_q, H_kv)
+    assert T <= cache.window_size, (T, cache.window_size)
+    group = H_q // H_kv
+    sc, W = cache.sink_cap, cache.window_size
+    ns = cache.num_sink
+
+    kf, vf = cache.dequant_kv()
+    kf = kf[:, :, :sc + W, :D].astype(jnp.float32)
+    vf = vf[:, :, :sc + W, :D].astype(jnp.float32)
+    kf = jnp.concatenate([kf, k_new.astype(jnp.float32)], axis=2)
+    vf = jnp.concatenate([vf, v_new.astype(jnp.float32)], axis=2)
+
+    # per-slot global positions + validity (same circular-age test as the
+    # single-token kernel), for the PRE-append ring state
+    sink_idx = jnp.arange(sc, dtype=jnp.int32)
+    sink_valid = sink_idx < cache.sink_len
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    age = (cache.write_pos - 1 - w_idx) % W  # 0 => most recent
+    win_pos = cache.seen - 1 - age
+    win_valid = age < cache.window_len
+    new_pos = cache.seen + jnp.arange(T, dtype=jnp.int32)
+    col_pos = jnp.concatenate([sink_idx, win_pos, new_pos])   # [sc + W + T]
+    col_valid = jnp.concatenate(
+        [sink_valid, win_valid, jnp.ones((T,), bool)])
+
+    q_pos = new_pos                                           # [T]
+    causal = col_pos[None, :] <= q_pos[:, None]
+    sink = col_pos[None, :] < ns
+    win = col_pos[None, :] >= q_pos[:, None] - W + 1
+    mask = col_valid[None, :] & causal & (sink | win)         # [T, S]
+
+    scale = 1.0 / (D ** 0.5)
+    qf = q.astype(jnp.float32).reshape(B, H_kv, group, T, D) * scale
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qf, kf)
+    scores = jnp.where(mask[None, None, None], scores, NEG_INF)
+
+    if s_aux is not None:
+        aux = s_aux.astype(jnp.float32).reshape(1, H_kv, group, 1, 1)
+        aux = jnp.broadcast_to(aux, (B, H_kv, group, T, 1))
+        logits = jnp.concatenate([scores, aux], axis=-1)
+    else:
+        logits = scores
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(jnp.isfinite(logits), jnp.exp(logits - m), 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    w = p[..., :kf.shape[2]] / denom
+    out = jnp.einsum("bhgts,bhsd->bhgtd", w, vf)
+    out = out.reshape(B, H_q, T, D).astype(q.dtype)
+    return out, cache.append_many(k_new, v_new)

@@ -149,3 +149,66 @@ def test_jitted_decode_step():
     cache2, out = step(cache, q, q[:, :H_kv], q[:, :H_kv])
     assert out.shape == (B, H_q, 1, D)
     assert int(cache2.seen) == 17
+
+
+# -- multi-token (speculative) cached decode --------------------------------
+
+
+def test_multi_token_cached_decode_matches_eager():
+    """Draft-token verification: T queries over the pre-append cache must
+    equal the last T rows of full eager attention (exactly what sequential
+    single-token decode would produce), across eviction wraps."""
+    from sink_attention_tpu.ops.decode import (
+        sink_decode_attention_cached_multi)
+
+    B, Hq, Hkv, D = 1, 4, 2, 32
+    ns, W = 4, 64
+    for P, T in [(100, 4), (60, 1), (5, 3), (40, 64)]:
+        N = P + T
+        ks = jax.random.split(jax.random.PRNGKey(P), 4)
+        q_all = jax.random.normal(ks[0], (B, Hq, N, D), jnp.float32)
+        k_all = jax.random.normal(ks[1], (B, Hkv, N, D), jnp.float32)
+        v_all = jax.random.normal(ks[2], (B, Hkv, N, D), jnp.float32)
+        aux = jax.random.normal(ks[3], (Hq,), jnp.float32)
+        cache = SinkKVCache.init(B, Hkv, D, num_sink=ns, window_size=W,
+                                 dtype=jnp.float32)
+        cache = cache.prefill(k_all[:, :, :P], v_all[:, :, :P])
+        out, cache2 = sink_decode_attention_cached_multi(
+            q_all[:, :, P:], k_all[:, :, P:], v_all[:, :, P:], cache,
+            s_aux=aux)
+        ref = eager_sink_attention(q_all, k_all, v_all, ns, W,
+                                   s_aux=aux)[:, :, P:]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"P={P} T={T}")
+        assert int(cache2.seen) == N
+
+
+def test_multi_token_decode_rollback_semantics():
+    """Rejecting drafts = reverting to the pre-append cache; re-appending
+    the accepted prefix then continues exactly as sequential decode."""
+    from sink_attention_tpu.ops.decode import (
+        sink_decode_attention_cached_multi)
+
+    B, Hq, Hkv, D = 1, 2, 2, 16
+    ns, W = 2, 32
+    P, T, accept = 50, 4, 2
+    N = P + T
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    q_all = jax.random.normal(ks[0], (B, Hq, N, D), jnp.float32)
+    k_all = jax.random.normal(ks[1], (B, Hkv, N, D), jnp.float32)
+    v_all = jax.random.normal(ks[2], (B, Hkv, N, D), jnp.float32)
+    cache0 = SinkKVCache.init(B, Hkv, D, num_sink=ns, window_size=W,
+                              dtype=jnp.float32)
+    cache0 = cache0.prefill(k_all[:, :, :P], v_all[:, :, :P])
+    _, _ = sink_decode_attention_cached_multi(
+        q_all[:, :, P:], k_all[:, :, P:], v_all[:, :, P:], cache0)
+    # roll back: keep cache0, append only the accepted prefix
+    cache_acc = cache0.append_many(k_all[:, :, P:P + accept],
+                                   v_all[:, :, P:P + accept])
+    # sequential decode of the same prefix must give an identical cache
+    cache_seq = cache0
+    for t in range(accept):
+        cache_seq = cache_seq.append(k_all[:, :, P + t:P + t + 1],
+                                     v_all[:, :, P + t:P + t + 1])
+    for a, b in zip(jax.tree.leaves(cache_acc), jax.tree.leaves(cache_seq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
