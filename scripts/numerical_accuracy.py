@@ -35,8 +35,13 @@ import numpy as np  # noqa: E402
 from sink_attention_tpu.cache import SinkKVCache  # noqa: E402
 from sink_attention_tpu.ops import (  # noqa: E402
     eager_sink_attention,
+    eager_sink_attention_packed,
     sink_decode_attention_cached,
     sink_flash_attention,
+    sink_flash_attention_packed,
+)
+from sink_attention_tpu.ops.decode import (  # noqa: E402
+    sink_decode_attention_cached_multi,
 )
 
 
@@ -137,6 +142,63 @@ def decode_table():
         print(f"{str(quant or dtype.__name__):<12} {worst:>14.2e}")
 
 
+def packed_table():
+    print("\n=== Packed (varlen) accuracy (kernel vs fp32 packed eager) ===")
+    print(f"{'segments':<28} {'fwd max_err':>12} {'dq':>10} {'dk':>10} "
+          f"{'dv':>10}")
+    B, Hq, Hkv, D, ns, W = 1, 4, 2, 64, 4, 64
+    for segs in ([128, 128], [100, 30, 70, 56], [200, 56], [8] * 32):
+        N = sum(segs)
+        pos = jnp.concatenate(
+            [jnp.arange(L, dtype=jnp.int32) for L in segs])[None]
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        q = jax.random.normal(ks[0], (B, Hq, N, D))
+        k = jax.random.normal(ks[1], (B, Hkv, N, D))
+        v = jax.random.normal(ks[2], (B, Hkv, N, D))
+        aux = jax.random.normal(ks[3], (Hq,))
+        out = sink_flash_attention_packed(q, k, v, pos, ns, W, s_aux=aux,
+                                          block_q=64, block_kv=64)
+        ref = eager_sink_attention_packed(q, k, v, pos, ns, W, s_aux=aux)
+        fwd_err = float(jnp.max(jnp.abs(out - ref)))
+
+        def loss(fn, **kw):
+            def inner(q, k, v):
+                return jnp.sum(fn(q, k, v, pos, ns, W, s_aux=aux, **kw) ** 2)
+            return jax.grad(inner, (0, 1, 2))
+
+        gk = loss(sink_flash_attention_packed, block_q=64, block_kv=64)(
+            q, k, v)
+        gr = loss(eager_sink_attention_packed)(q, k, v)
+        gerrs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(gk, gr)]
+        name = "x".join(str(L) for L in segs[:4]) + (
+            "..." if len(segs) > 4 else "")
+        print(f"{name:<28} {fwd_err:>12.2e} " +
+              " ".join(f"{e:>10.2e}" for e in gerrs))
+
+
+def multi_decode_table():
+    print("\n=== Multi-token (speculative) decode accuracy ===")
+    print(f"{'prefill/T':<14} {'max_err':>10}")
+    B, Hq, Hkv, D, ns, W = 1, 4, 2, 64, 4, 64
+    for P, T in [(100, 4), (40, 8), (200, 16)]:
+        N = P + T
+        ks = jax.random.split(jax.random.PRNGKey(4), 4)
+        q_all = jax.random.normal(ks[0], (B, Hq, N, D))
+        k_all = jax.random.normal(ks[1], (B, Hkv, N, D))
+        v_all = jax.random.normal(ks[2], (B, Hkv, N, D))
+        aux = jax.random.normal(ks[3], (Hq,))
+        cache = SinkKVCache.init(B, Hkv, D, num_sink=ns, window_size=W,
+                                 dtype=jnp.float32)
+        cache = cache.prefill(k_all[:, :, :P], v_all[:, :, :P])
+        out, _ = sink_decode_attention_cached_multi(
+            q_all[:, :, P:], k_all[:, :, P:], v_all[:, :, P:], cache,
+            s_aux=aux)
+        ref = eager_sink_attention(q_all, k_all, v_all, ns, W,
+                                   s_aux=aux)[:, :, P:]
+        err = float(jnp.max(jnp.abs(out - ref)))
+        print(f"{P}/{T:<11} {err:>10.2e}")
+
+
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}")
     # On TPU, default matmul precision computes fp32 dots with bf16 passes
@@ -146,3 +208,5 @@ if __name__ == "__main__":
         fwd_table()
         grad_table()
         decode_table()
+        packed_table()
+        multi_decode_table()

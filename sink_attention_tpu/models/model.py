@@ -253,7 +253,8 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     vals, idx = jax.lax.top_k(logits, cfg.experts_per_tok)
     weights = jax.nn.softmax(vals, axis=-1)
 
-    if T * cfg.experts_per_tok <= cfg.num_experts:
+    if (T <= cfg.moe_gather_token_limit and
+            T * cfg.experts_per_tok <= cfg.num_experts):
         # Unrolled dynamic slices, NOT jnp.take: XLA lowers a batched
         # gather of big rows to a one-hot contraction on TPU, which reads
         # EVERY expert's weights — defeating the point. dynamic_index with

@@ -1,7 +1,9 @@
-from .generate import greedy_generate, prefill_and_caches, decode_loop
+from .generate import (greedy_generate, beam_generate,
+                       prefill_and_caches, decode_loop)
 from .engine import ContinuousBatchingEngine, Request, SamplingParams
 from .sharded import make_sharded_generate
 
-__all__ = ["greedy_generate", "prefill_and_caches", "decode_loop",
+__all__ = ["greedy_generate", "beam_generate", "prefill_and_caches",
+           "decode_loop",
            "ContinuousBatchingEngine", "Request", "SamplingParams",
            "make_sharded_generate"]

@@ -154,3 +154,38 @@ def test_moe_gather_matches_dense():
     out_dense = moe(mlp, cfg, jnp.tile(x1, (1, 5, 1)))[:, :1]
     np.testing.assert_allclose(np.asarray(out_gather),
                                np.asarray(out_dense), atol=1e-5, rtol=1e-5)
+
+
+def test_beam_search():
+    """K=1 beam == greedy; K=2's best teacher-forced score >= greedy's and
+    the reported score matches teacher-forced re-scoring."""
+    from sink_attention_tpu.serving import beam_generate, greedy_generate
+    from sink_attention_tpu.models import forward_prefill
+
+    cfg = ModelConfig.tiny(num_layers=1, hidden_size=32, vocab_size=32)
+    params = init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, 6), 0, 32)
+    T = 3
+
+    g = greedy_generate(params, cfg, ids, max_new_tokens=T,
+                        dtype=jnp.float32)
+    b1, _ = beam_generate(params, cfg, ids, max_new_tokens=T, num_beams=1,
+                          dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(g))
+
+    b2, s2 = beam_generate(params, cfg, ids, max_new_tokens=T, num_beams=2,
+                           dtype=jnp.float32)
+
+    def score(seq):
+        full = jnp.concatenate([ids, seq], axis=1)
+        logits, _ = forward_prefill(params, cfg, full)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        pred_pos = jnp.arange(ids.shape[1] - 1, ids.shape[1] - 1 + T)
+        lp = jnp.take_along_axis(logp[:, pred_pos], seq[..., None], -1)
+        return lp[..., 0].sum(-1)
+
+    sg, sb = score(g), score(b2)
+    assert float(sb[0]) >= float(sg[0]) - 1e-4, (float(sb[0]), float(sg[0]))
+    # reported scores are length-normalized (sum logp / T**length_penalty)
+    np.testing.assert_allclose(np.asarray(s2) * T, np.asarray(sb),
+                               atol=1e-4)
