@@ -12,7 +12,9 @@ from .model import (
     moe,
 )
 from .hf_loader import params_from_hf_state_dict, load_hf_checkpoint
-from .quant import quantize_params, quantize_weight, is_quantized
+from .quant import (quantize_params, quantize_weight, is_quantized,
+                    is_quantized4, quantize_weight_int4,
+                    init_quantized_params)
 
 __all__ = [
     "ModelConfig",
@@ -31,4 +33,7 @@ __all__ = [
     "quantize_params",
     "quantize_weight",
     "is_quantized",
+    "init_quantized_params",
+    "is_quantized4",
+    "quantize_weight_int4",
 ]

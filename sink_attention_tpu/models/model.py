@@ -30,38 +30,63 @@ import jax.numpy as jnp
 from ..cache import SinkKVCache
 from ..ops import sink_flash_attention, sink_decode_attention_cached
 from .config import ModelConfig
-from .quant import is_quantized
+from .quant import is_quantized, is_quantized4
 
 ALPHA = 1.702  # gpt-oss glu activation alpha
 LIMIT = 7.0    # gpt-oss activation clamp
 
 
 def _mm(x: jax.Array, w) -> jax.Array:
-    """Matmul accepting plain or int8-quantized ({"q","s"}) weights.
+    """Matmul accepting plain, int8 ({"q","s"}), or packed-int4
+    ({"q4","s"}) weights.
 
-    Quantized: ``(x @ q.astype(x.dtype)) * s`` — XLA fuses the int8->bf16
+    int8: ``(x @ q.astype(x.dtype)) * s`` — XLA fuses the int8->bf16
     convert into the dot's operand read, so only int8 bytes cross HBM
-    (the point of weight-only quantization; see models.quant).
+    (measured ~83% of the int8 roofline). int4: the Pallas packed-nibble
+    kernel (ops.int4) — XLA has no packed-int4 dot.
     """
+    if is_quantized4(w):
+        from ..ops.int4 import int4_matmul
+        lead = x.shape[:-1]
+        y = int4_matmul(x.reshape(-1, x.shape[-1]), w["q4"], w["s"])
+        return y.reshape(*lead, y.shape[-1])
     if is_quantized(w):
         return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
     return x @ w.astype(x.dtype)
 
 
 def _expert_mm(x: jax.Array, w, eq: str) -> jax.Array:
-    """Einsum over stacked expert weights, plain or quantized."""
+    """Einsum over stacked expert weights, plain or quantized.
+
+    Supports the two MoE contractions "th,ehi->eti" (shared activations)
+    and "eti,eih->eth" (per-expert activations); int4 weights route to the
+    Pallas experts kernel, which handles both via x's rank.
+    """
+    if is_quantized4(w):
+        from ..ops.int4 import int4_matmul_experts
+        assert eq in ("th,ehi->eti", "eti,eih->eth"), eq
+        return int4_matmul_experts(x, w["q4"], w["s"])
     if is_quantized(w):
         return (jnp.einsum(eq, x, w["q"].astype(x.dtype)) *
                 w["s"].astype(x.dtype))
     return jnp.einsum(eq, x, w.astype(x.dtype))
 
 
-def _expert_slice(w, e):
-    """dynamic_index one expert's weight; returns (array, scale|None)."""
+def _routed_expert_mm(xt: jax.Array, w, e) -> jax.Array:
+    """One routed expert's matmul: dynamic-slice expert ``e`` (reading only
+    its weights from HBM — see the moe() docstring) and apply it to the
+    [K] vector ``xt``; handles plain / int8 / packed-int4 forms."""
+    if is_quantized4(w):
+        from ..ops.int4 import int4_matmul
+        wq = jax.lax.dynamic_index_in_dim(w["q4"], e, keepdims=False)
+        ws = jax.lax.dynamic_index_in_dim(w["s"], e, keepdims=False)
+        return int4_matmul(xt[None], wq, ws)[0]
     if is_quantized(w):
-        return (jax.lax.dynamic_index_in_dim(w["q"], e, keepdims=False),
-                jax.lax.dynamic_index_in_dim(w["s"], e, keepdims=False))
-    return jax.lax.dynamic_index_in_dim(w, e, keepdims=False), None
+        wq = jax.lax.dynamic_index_in_dim(w["q"], e, keepdims=False)
+        ws = jax.lax.dynamic_index_in_dim(w["s"], e, keepdims=False)
+        return (xt @ wq.astype(xt.dtype)) * ws[0].astype(xt.dtype)
+    wf = jax.lax.dynamic_index_in_dim(w, e, keepdims=False)
+    return xt @ wf.astype(xt.dtype)
 
 
 def _embed_lookup(embed, ids: jax.Array) -> jax.Array:
@@ -265,19 +290,13 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
             acc = jnp.zeros((H,), jnp.float32)
             for kk in range(cfg.experts_per_tok):
                 e = idx[t, kk]
-                gu, gu_s = _expert_slice(p["gate_up"], e)
                 gub = jax.lax.dynamic_index_in_dim(
                     p["gate_up_b"], e, keepdims=False).astype(xtt.dtype)
-                pre = xtt @ gu.astype(xtt.dtype)
-                if gu_s is not None:
-                    pre = pre * gu_s[0].astype(pre.dtype)
+                pre = _routed_expert_mm(xtt, p["gate_up"], e)
                 act = _glu_act(pre + gub)
-                dw, dw_s = _expert_slice(p["down"], e)
                 dwb = jax.lax.dynamic_index_in_dim(
                     p["down_b"], e, keepdims=False).astype(act.dtype)
-                down = act @ dw.astype(act.dtype)
-                if dw_s is not None:
-                    down = down * dw_s[0].astype(down.dtype)
+                down = _routed_expert_mm(act, p["down"], e)
                 acc = acc + weights[t, kk] * (down + dwb).astype(
                     jnp.float32)
             out = out.at[t].set(acc)

@@ -26,7 +26,9 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_weight", "quantize_params", "is_quantized"]
+__all__ = ["quantize_weight", "quantize_params", "is_quantized",
+           "is_quantized4", "quantize_weight_int4",
+           "init_quantized_params"]
 
 
 def is_quantized(w: Any) -> bool:
@@ -105,3 +107,93 @@ def quantize_params(params: dict, cfg=None,
             "ln2": lp["ln2"],
         })
     return out
+
+
+def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
+                          init_dtype: Any = jnp.bfloat16,
+                          bits: int = 8) -> dict:
+    """Random-init a model directly in int8 form, one tensor at a time.
+
+    For models whose full-precision parameters exceed device memory (the
+    full 24-layer gpt-oss-20b geometry is ~42 GB bf16 vs 16 GB on a v5e,
+    but ~6 GB int8), initialize each weight, quantize it, and drop the
+    source before creating the next — peak memory stays near the int8
+    total plus one tensor. Mirrors ``model.init_params`` (same shapes,
+    same per-key RNG stream) followed by ``quantize_params``.
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    H, D = cfg.hidden_size, cfg.head_dim
+    HQ, HKV = cfg.num_heads, cfg.num_kv_heads
+    I, E = cfg.intermediate_size, cfg.num_experts
+    keys = iter(_jax.random.split(key, 8 + 12 * cfg.num_layers))
+
+    def w(shape, scale=0.02):
+        return (_jax.random.normal(next(keys), shape, _jnp.float32) *
+                scale).astype(init_dtype)
+
+    assert bits in (4, 8), bits
+
+    def qw(shape, contract_axis=-2, scale=0.02):
+        full = w(shape, scale)
+        if bits == 4:
+            out = quantize_weight_int4(full, contract_axis=contract_axis,
+                                       scale_dtype=compute_dtype)
+        else:
+            out = quantize_weight(full, contract_axis=contract_axis,
+                                  scale_dtype=compute_dtype)
+        del full
+        return out
+
+    def qw8(shape, contract_axis=-2, scale=0.02):
+        # the embedding is gathered (never contracted): keep int8 rows
+        full = w(shape, scale)
+        out = quantize_weight(full, contract_axis=contract_axis,
+                              scale_dtype=compute_dtype)
+        del full
+        return out
+
+    def zeros(shape):
+        return _jnp.zeros(shape, init_dtype)
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "attn": {
+                "wq": qw((H, HQ * D)), "bq": zeros((HQ * D,)),
+                "wk": qw((H, HKV * D)), "bk": zeros((HKV * D,)),
+                "wv": qw((H, HKV * D)), "bv": zeros((HKV * D,)),
+                "wo": qw((HQ * D, H)), "bo": zeros((H,)),
+                "sinks": w((HQ,), scale=1.0),
+            },
+            "mlp": {
+                "router_w": w((H, E)), "router_b": zeros((E,)),
+                "gate_up": qw((E, H, 2 * I)),
+                "gate_up_b": zeros((E, 2 * I)),
+                "down": qw((E, I, H)), "down_b": zeros((E, H)),
+            },
+            "ln1": _jnp.ones((H,), init_dtype),
+            "ln2": _jnp.ones((H,), init_dtype),
+        })
+    return {
+        "embed": qw8((cfg.vocab_size, H), contract_axis=-1),
+        "layers": layers,
+        "final_norm": _jnp.ones((H,), init_dtype),
+        "lm_head": qw((H, cfg.vocab_size)),
+    }
+
+
+def is_quantized4(w: Any) -> bool:
+    return isinstance(w, dict) and "q4" in w and "s" in w
+
+
+def quantize_weight_int4(w: jax.Array, contract_axis: int = -2,
+                         scale_dtype: Any = jnp.float32) -> dict:
+    """INT4 quantize+pack (ops.int4.pack_int4 nibble format): ``{"q4":
+    packed int8 [.., K/2, ..], "s": per-output-channel scales}``. Consumed
+    by the Pallas int4 matmul kernels via ``model._mm``/``_expert_mm``."""
+    from ..ops.int4 import pack_int4
+
+    packed, scale = pack_int4(w, contract_axis)
+    return {"q4": packed, "s": scale.astype(scale_dtype)}

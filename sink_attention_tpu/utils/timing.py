@@ -23,32 +23,37 @@ H200_PEAK_BF16 = 990e12  # H200 SXM bf16 dense peak FLOP/s
 V5E_HBM_BW = 819e9       # TPU v5e HBM bandwidth B/s
 
 
-def time_chained(op: Callable, x0, iters_lo: int = 4, iters_hi: int = 20,
-                 reps: int = 3) -> float:
+def time_chained(op: Callable, x0, *consts, iters_lo: int = 4,
+                 iters_hi: int = 20, reps: int = 3) -> float:
     """Median per-call seconds for ``op`` (out shape == in shape).
 
     Runs ``op`` chained (output -> next input) in one jitted scan for two
     loop lengths; the difference isolates pure device time per call.
+
+    Extra operands (weights, caches, ...) MUST be passed via ``*consts``
+    (forwarded as ``op(x, *consts)``), not captured in the closure:
+    closure-captured arrays become inline jit constants, and multi-GB
+    constants hang the tunnel's remote compile.
     """
 
     def make(iters):
         @jax.jit
-        def run(x):
+        def run(x, *cs):
             def body(c, _):
-                return op(c), ()
+                return op(c, *cs), ()
             c, _ = jax.lax.scan(body, x, None, length=iters)
             return jnp.sum(c.astype(jnp.float32))
         return run
 
     lo, hi = make(iters_lo), make(iters_hi)
-    float(lo(x0))  # compile
-    float(hi(x0))
+    float(lo(x0, *consts))  # compile
+    float(hi(x0, *consts))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(lo(x0))
+        float(lo(x0, *consts))
         t1 = time.perf_counter()
-        float(hi(x0))
+        float(hi(x0, *consts))
         t2 = time.perf_counter()
         ts.append(((t2 - t1) - (t1 - t0)) / (iters_hi - iters_lo))
     ts.sort()
