@@ -47,10 +47,16 @@ def quantize_weight(w: jax.Array, contract_axis: int = -2,
     lookup produces activations in the scale's dtype.
     """
     contract_axis = contract_axis % w.ndim
-    wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=contract_axis, keepdims=True)
+    # fp32 temporaries of near-HBM-size tensors overflow a 16 GB chip
+    # during on-device init/quantization; bf16 inputs stay in bf16
+    # (int8 rounding error dwarfs bf16 division error).
+    cdt = jnp.float32 if w.dtype.itemsize >= 4 else w.dtype
+    wf = w.astype(cdt)
+    amax = jnp.max(jnp.abs(wf), axis=contract_axis,
+                   keepdims=True).astype(jnp.float32)
     scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(wf / scale.astype(cdt)),
+                 -127, 127).astype(jnp.int8)
     return {"q": q, "s": scale.astype(scale_dtype)}
 
 
@@ -157,6 +163,11 @@ def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
     def zeros(shape):
         return _jnp.zeros(shape, init_dtype)
 
+    # embed/lm_head first: their init transients (vocab x H) are the
+    # largest, so create them while accumulated memory is still small.
+    embed = qw8((cfg.vocab_size, H), contract_axis=-1)
+    lm_head = qw8((H, cfg.vocab_size))
+
     layers = []
     for _ in range(cfg.num_layers):
         layers.append({
@@ -177,10 +188,14 @@ def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
             "ln2": _jnp.ones((H,), init_dtype),
         })
     return {
-        "embed": qw8((cfg.vocab_size, H), contract_axis=-1),
+        "embed": embed,
         "layers": layers,
+        # lm_head stays int8 even at bits=4: it is the single hottest
+        # decode matmul and the int8 dequant fuses into the dot (~83% of
+        # roofline), while int4 unpack is VPU-bound; the size delta is
+        # only ~0.3 GB on gpt-oss-20b.
+        "lm_head": lm_head,
         "final_norm": _jnp.ones((H,), init_dtype),
-        "lm_head": qw((H, cfg.vocab_size)),
     }
 
 

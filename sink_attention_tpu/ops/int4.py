@@ -18,6 +18,14 @@ dot; this kernel owns the format instead:
 * Grid ``(T tiles, N tiles, K/2 tiles)`` with an fp32 VMEM accumulator;
   the same kernel serves decode (T=1..8, padded) and prefill (T large).
 
+Performance: int4 is a CAPACITY feature, not a speed feature. The
+nibble unpack is VPU-bound (~7 int32 passes per packed byte — Mosaic
+compiles neither int8 shifts nor direct int8->bf16 converts), so this
+kernel moves ~2x fewer HBM bytes than int8 but lands slower than the
+XLA-fused int8 path on bandwidth-bound shapes. Use it for weights that
+otherwise don't fit (models.quant.init_quantized_params(bits=4) keeps
+the hot lm_head in int8 for exactly this reason).
+
 No reference counterpart (the reference has no quantization at all).
 """
 
@@ -53,10 +61,15 @@ def pack_int4(w: jax.Array, contract_axis: int = -2):
     contract_axis = contract_axis % w.ndim
     K = w.shape[contract_axis]
     assert K % 2 == 0, K
-    wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=contract_axis, keepdims=True)
+    # bf16 inputs quantize in bf16: int4 rounding error (+-0.5 steps)
+    # dwarfs bf16 division error, and fp32 temporaries of a near-HBM-size
+    # tensor are exactly what overflows a 16 GB chip during model init.
+    cdt = jnp.float32 if w.dtype.itemsize >= 4 else w.dtype
+    wf = w.astype(cdt)
+    amax = jnp.max(jnp.abs(wf), axis=contract_axis,
+                   keepdims=True).astype(jnp.float32)
     scale = jnp.where(amax == 0.0, 1.0, amax / 7.0)
-    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    q = jnp.clip(jnp.round(wf / scale.astype(cdt)), -7, 7).astype(jnp.int8)
     lo, hi = jnp.split(q, 2, axis=contract_axis)
     packed = jnp.bitwise_or(
         jnp.bitwise_and(lo, jnp.int8(0x0F)),
