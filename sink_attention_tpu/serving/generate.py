@@ -18,8 +18,8 @@ from ..cache import SinkKVCache
 from ..models.config import ModelConfig
 from ..models.model import forward_decode, forward_prefill, make_caches
 
-__all__ = ["greedy_generate", "beam_generate", "prefill_and_caches",
-           "decode_loop"]
+__all__ = ["greedy_generate", "beam_generate", "speculative_generate",
+           "prefill_and_caches", "decode_loop"]
 
 
 def prefill_and_caches(params, cfg: ModelConfig, input_ids,
@@ -150,3 +150,124 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
         seqs, best[:, None, None], axis=1)[:, 0]       # [B, T]
     best_score = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
     return best_seq, best_score
+
+
+def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
+                         input_ids, max_new_tokens: int,
+                         num_draft_tokens: int = 4,
+                         dtype: Any = jnp.bfloat16,
+                         quant: Optional[str] = None,
+                         interpret: Optional[bool] = None):
+    """Greedy speculative decoding: a small draft model proposes
+    ``num_draft_tokens`` greedily; the target model verifies the whole
+    draft in ONE fused multi-token attention call
+    (``ops.sink_decode_attention_cached_multi``) and accepts the longest
+    prefix that matches its own greedy choices, plus one free token from
+    the verification logits. Output is IDENTICAL to target-only greedy
+    decoding — the draft only changes how many target forward passes are
+    needed. Rollback is free: the rolling caches are immutable pytrees,
+    so rejecting tokens = keeping the pre-append cache and appending the
+    accepted prefix.
+
+    The reference supports the *cache* side of this (multi-token
+    append, cache.py:176-183) but has no speculative loop. Returns
+    (tokens [B, max_new_tokens], acceptance_rate).
+    """
+    from ..models.model import forward_decode, forward_prefill, make_caches
+    import numpy as np
+
+    B, N = input_ids.shape
+    assert B == 1, "speculative loop is per-sequence (B=1)"
+    tcaches = make_caches(cfg_target, B, N + max_new_tokens + num_draft_tokens,
+                          dtype=dtype, quant=quant)
+    dcaches = make_caches(cfg_draft, B, N + max_new_tokens + num_draft_tokens,
+                          dtype=dtype, quant=quant)
+    tlogits, tcaches = forward_prefill(params_target, cfg_target, input_ids,
+                                       tcaches, interpret=interpret)
+    _, dcaches = forward_prefill(params_draft, cfg_draft, input_ids,
+                                 dcaches, interpret=interpret)
+    tok = int(jnp.argmax(tlogits[0, -1]))
+
+    out = [tok]
+    pos = N
+    n_target_calls = 0
+    while len(out) < max_new_tokens:
+        k = min(num_draft_tokens, max_new_tokens - len(out))
+        # --- draft proposes k tokens (sequential small-model decodes) ---
+        draft = []
+        dc = dcaches
+        cur = tok
+        for i in range(k):
+            dl, dc = forward_decode(params_draft, cfg_draft,
+                                    jnp.array([[cur]]), dc, pos + i,
+                                    interpret=interpret)
+            cur = int(jnp.argmax(dl[0, -1]))
+            draft.append(cur)
+        # --- target verifies [tok, draft[:-1]] in one multi-token step ---
+        # target consumes tokens [tok] + draft[:k-1] (k inputs) and emits
+        # its greedy choice after each — compare to draft.
+        inputs = jnp.array([[tok] + draft[:-1]], jnp.int32)
+        vlogits, tcaches_next = _forward_multi(
+            params_target, cfg_target, inputs, tcaches, pos,
+            interpret=interpret)
+        n_target_calls += 1
+        greedy = [int(t) for t in np.asarray(jnp.argmax(vlogits[0], -1))]
+        n_acc = 0
+        while n_acc < k - 1 and greedy[n_acc] == draft[n_acc]:
+            n_acc += 1
+        accepted = draft[:n_acc] + [greedy[n_acc]]
+        # roll the target cache back to the accepted prefix: keep the
+        # pre-verify cache and append only the accepted inputs' KV — done
+        # by re-running the multi-step on the accepted inputs only.
+        if n_acc + 1 == k:
+            tcaches = tcaches_next  # everything accepted: keep as-is
+        else:
+            _, tcaches = _forward_multi(
+                params_target, cfg_target, inputs[:, :n_acc + 1], tcaches,
+                pos, interpret=interpret)
+            n_target_calls += 1  # the rollback re-append is a target pass
+        # draft cache: same treatment (cheap — draft is small); re-sync by
+        # appending accepted tokens it hasn't seen via plain decodes.
+        dcaches = dc if n_acc == k - 1 else dcaches
+        if n_acc < k - 1:
+            for i, t in enumerate([tok] + accepted[:-1]):
+                _, dcaches = forward_decode(params_draft, cfg_draft,
+                                            jnp.array([[t]]), dcaches,
+                                            pos + i, interpret=interpret)
+        out.extend(accepted)
+        pos += n_acc + 1
+        tok = accepted[-1]
+    rate = (len(out) - 1) / max(n_target_calls, 1)
+    return jnp.array([out[:max_new_tokens]], jnp.int32), rate
+
+
+def _forward_multi(params, cfg, input_ids, caches, start_pos,
+                   interpret=None):
+    """Target-model forward over T tokens against rolling caches using the
+    fused multi-token decode attention; returns (logits [B,T,V], caches)."""
+    from ..models.model import (_embed_lookup, _mm, _out_proj, _qkv,
+                                apply_rope, moe, rms_norm, rope_cos_sin)
+    from ..ops.decode import sink_decode_attention_cached_multi
+
+    B, T = input_ids.shape
+    x = _embed_lookup(params["embed"], input_ids)
+    pos = start_pos + jnp.arange(T)
+    cos, sin = rope_cos_sin(cfg, pos)
+
+    new_caches = []
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp["attn"], cfg, h)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn, cache = sink_decode_attention_cached_multi(
+            q, k, v, caches[li],
+            s_aux=lp["attn"]["sinks"].astype(jnp.float32))
+        new_caches.append(cache)
+        x = x + _out_proj(lp["attn"], cfg, attn)
+        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + moe(lp["mlp"], cfg, h)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = _mm(x, params["lm_head"])
+    return logits, new_caches

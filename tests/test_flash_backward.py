@@ -97,3 +97,30 @@ def test_grads_finite_bf16():
     grads = jax.grad(loss, (0, 1, 2, 3))(q, k, v, s_aux)
     for g in grads:
         assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32)))), g.dtype
+
+
+def test_ds_aux_matches_finite_differences():
+    """Independent ds_aux validation vs central finite differences
+    (reference test_s_aux.py:196-239; headline 'max diff 1.19e-3',
+    README.md:116). The other gradient tests compare against autodiff
+    through the eager oracle; this one needs no oracle at all."""
+    B, Hq, Hkv, N, D = 1, 4, 2, 128, 32
+    ns, W = 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(ks[0], (B, Hq, N, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, N, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, N, D), jnp.float32)
+    aux = jax.random.normal(ks[3], (Hq,), jnp.float32)
+
+    def loss(a):
+        out = sink_flash_attention(q, k, v, ns, W, s_aux=a,
+                                   block_q=64, block_kv=64)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    analytic = np.asarray(jax.grad(loss)(aux))
+    eps = 1e-3
+    numeric = np.zeros_like(analytic)
+    for h in range(Hq):
+        e = jnp.zeros_like(aux).at[h].set(eps)
+        numeric[h] = (float(loss(aux + e)) - float(loss(aux - e))) / (2 * eps)
+    np.testing.assert_allclose(analytic, numeric, atol=5e-2, rtol=5e-2)

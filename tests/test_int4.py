@@ -114,3 +114,21 @@ def test_int4_generate_runs():
                            dtype=jnp.float32)
     t = np.asarray(toks)
     assert t.shape == (1, 4) and ((t >= 0) & (t < 64)).all()
+
+
+def test_int4_engine_generates():
+    """Continuous-batching engine over an int4-weight model."""
+    from sink_attention_tpu.models import ModelConfig, init_quantized_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    cfg = ModelConfig.tiny(num_layers=1, vocab_size=64)
+    qp4 = init_quantized_params(cfg, jax.random.PRNGKey(4),
+                                compute_dtype=jnp.float32,
+                                init_dtype=jnp.float32, bits=4)
+    eng = ContinuousBatchingEngine(qp4, cfg, max_batch=2, max_len=64,
+                                   prefill_bucket=16, dtype=jnp.float32)
+    r1 = eng.submit([1, 2, 3], max_new_tokens=3)
+    r2 = eng.submit([4, 5], max_new_tokens=3)
+    out = eng.run()
+    assert len(out[r1]) == 3 and len(out[r2]) == 3
+    assert all(0 <= t < 64 for t in out[r1] + out[r2])

@@ -189,3 +189,29 @@ def test_beam_search():
     # reported scores are length-normalized (sum logp / T**length_penalty)
     np.testing.assert_allclose(np.asarray(s2) * T, np.asarray(sb),
                                atol=1e-4)
+
+
+def test_speculative_generate_equals_greedy():
+    """Speculative decoding must produce EXACTLY the target model's greedy
+    output, for both a perfect draft (the target itself; high acceptance)
+    and an unrelated draft (low acceptance)."""
+    from sink_attention_tpu.serving import (greedy_generate,
+                                            speculative_generate)
+
+    cfg = ModelConfig.tiny(num_layers=2, vocab_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    cfg_d = ModelConfig.tiny(num_layers=1, vocab_size=64)
+    params_d = init_params(cfg_d, jax.random.PRNGKey(5), jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, 64)
+    T = 8
+
+    ref = np.asarray(greedy_generate(params, cfg, ids, max_new_tokens=T,
+                                     dtype=jnp.float32))
+    toks, rate = speculative_generate(params, params, cfg, cfg, ids, T,
+                                      num_draft_tokens=4, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+    assert rate > 1.5  # perfect draft: multiple tokens per target pass
+
+    toks2, _ = speculative_generate(params, params_d, cfg, cfg_d, ids, T,
+                                    num_draft_tokens=4, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(toks2), ref)

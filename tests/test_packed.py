@@ -129,3 +129,36 @@ def test_packed_bf16():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref), atol=3e-2)
+
+
+def test_model_level_packed_forward_matches_separate():
+    """forward_prefill over a packed batch (packed attn_impl + segment-
+    local RoPE positions) must equal separate forwards per segment —
+    the packed-training integration the reference lacks entirely."""
+    from sink_attention_tpu.models import (ModelConfig, init_params,
+                                           forward_prefill)
+
+    cfg = ModelConfig.tiny(num_layers=2, vocab_size=64, sliding_window=16)
+    params = init_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    segs = [24, 40]
+    N = sum(segs)
+    ids = jax.random.randint(jax.random.PRNGKey(8), (1, N), 0, 64)
+    pos = mkpos(segs)
+
+    def packed_attn(q, k, v, *, num_sink, window_size, s_aux):
+        return sink_flash_attention_packed(
+            q, k, v, pos, num_sink, window_size, s_aux=s_aux,
+            block_q=32, block_kv=32)
+
+    logits_packed, _ = forward_prefill(params, cfg, ids,
+                                       positions=pos[0],
+                                       attn_impl=packed_attn)
+
+    off = 0
+    for L in segs:
+        seg_ids = ids[:, off:off + L]
+        logits_sep, _ = forward_prefill(params, cfg, seg_ids)
+        np.testing.assert_allclose(
+            np.asarray(logits_packed[:, off:off + L]),
+            np.asarray(logits_sep), atol=2e-4, rtol=1e-3)
+        off += L
