@@ -30,7 +30,7 @@ from ..models.model import forward_prefill
 from .ulysses import ulysses_sink_flash_attention
 
 __all__ = ["param_shardings", "make_sharded_attn", "make_train_step",
-           "cross_entropy_loss"]
+           "cross_entropy_loss", "cross_entropy_loss_packed"]
 
 
 def param_shardings(cfg: ModelConfig, mesh: Mesh, model_axis: str = "model"):
@@ -107,6 +107,39 @@ def cross_entropy_loss(params, cfg: ModelConfig, batch, attn_impl=None):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return -jnp.mean(ll)
+
+
+def cross_entropy_loss_packed(params, cfg: ModelConfig, batch, positions,
+                              interpret: Optional[bool] = None):
+    """Packed-batch next-token CE: per-segment sink attention + RoPE, with
+    cross-segment targets masked out.
+
+    batch: int32 [B, N] packed token ids; positions: int32 [B, N]
+    segment-local positions (0 at each segment start — the position_ids a
+    packed loop already has). Token t's target is token t+1 UNLESS t+1
+    starts a new segment (positions[t+1] == 0); final tokens of each
+    segment (and of the pack) contribute no loss — exactly the
+    verl/HF packed-SFT convention. Attention runs the packed kernel
+    (ops.sink_flash_attention_packed); the reference falls back to stock
+    FA here and trains packed batches WITHOUT sink attention
+    (verl_patch.py:73-93).
+    """
+    from ..ops import sink_flash_attention_packed
+
+    def attn(q, k, v, *, num_sink, window_size, s_aux):
+        return sink_flash_attention_packed(
+            q, k, v, positions, num_sink, window_size, s_aux=s_aux,
+            interpret=interpret)
+
+    logits, _ = forward_prefill(params, cfg, batch, positions=positions,
+                                attn_impl=attn)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    targets = batch[:, 1:]
+    ll = jnp.take_along_axis(logp[:, :-1], targets[..., None],
+                             axis=-1)[..., 0]
+    # valid iff the next token continues the same segment
+    valid = (positions[:, 1:] > 0).astype(jnp.float32)
+    return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
 def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,

@@ -225,3 +225,43 @@ def test_sp_gradients():
     for name, a, b in zip("q k v aux".split(), g_sp, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    rtol=1e-3, err_msg=name)
+
+
+def test_packed_cross_entropy_matches_per_segment():
+    """Packed CE (packed kernel + masked targets) must equal the
+    token-weighted CE of separate per-segment forwards."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.models.model import forward_prefill
+    from sink_attention_tpu.parallel.train import (cross_entropy_loss,
+                                                   cross_entropy_loss_packed)
+
+    cfg = ModelConfig.tiny(num_layers=2, vocab_size=64, sliding_window=16)
+    params = init_params(cfg, jax.random.PRNGKey(20), jnp.float32)
+    segs = [24, 40]
+    N = sum(segs)
+    ids = jax.random.randint(jax.random.PRNGKey(21), (1, N), 0, 64)
+    pos = jnp.concatenate(
+        [jnp.arange(L, dtype=jnp.int32) for L in segs])[None]
+
+    packed = float(cross_entropy_loss_packed(params, cfg, ids, pos))
+
+    # reference: per-segment losses weighted by their target counts
+    total_ll, total_n = 0.0, 0
+    off = 0
+    for L in segs:
+        seg = ids[:, off:off + L]
+        logits, _ = forward_prefill(params, cfg, seg)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        tgt = seg[:, 1:]
+        ll = jnp.take_along_axis(logp[:, :-1], tgt[..., None], -1)
+        total_ll += float(ll.sum())
+        total_n += L - 1
+        off += L
+    ref = -total_ll / total_n
+    np.testing.assert_allclose(packed, ref, rtol=1e-5, atol=1e-6)
+
+    # gradient flows and is finite
+    g = jax.grad(lambda p: cross_entropy_loss_packed(p, cfg, ids, pos))(
+        params)
+    flat = jax.tree.leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
