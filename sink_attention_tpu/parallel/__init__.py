@@ -5,7 +5,9 @@ from .sp import (
     local_position_offset,
     sp_sink_flash_attention,
 )
-from .ulysses import ulysses_sink_flash_attention, slice_s_aux_for_rank
+from .ulysses import (ulysses_sink_flash_attention,
+                      ulysses_sink_flash_attention_packed,
+                      slice_s_aux_for_rank)
 from .ring import ring_sink_flash_attention
 from .pp import (
     stack_pipeline_params,
@@ -27,6 +29,7 @@ __all__ = [
     "local_position_offset",
     "sp_sink_flash_attention",
     "ulysses_sink_flash_attention",
+    "ulysses_sink_flash_attention_packed",
     "slice_s_aux_for_rank",
     "ring_sink_flash_attention",
     "stack_pipeline_params",

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 
 from ..ops.flash import sink_flash_attention
 
-__all__ = ["ulysses_sink_flash_attention", "slice_s_aux_for_rank"]
+__all__ = ["ulysses_sink_flash_attention",
+           "ulysses_sink_flash_attention_packed",
+           "slice_s_aux_for_rank"]
 
 
 def slice_s_aux_for_rank(s_aux, h_local: int, axis_name: str):
@@ -72,4 +74,51 @@ def ulysses_sink_flash_attention(q_local, k_local, v_local,
     out = sink_flash_attention(q, k, v, num_sink=num_sink,
                                window_size=window_size, s_aux=aux_local,
                                interpret=interpret)
+    return gather_heads(out)
+
+
+def ulysses_sink_flash_attention_packed(q_local, k_local, v_local, positions,
+                                        num_sink: int = 4,
+                                        window_size: int = 512,
+                                        s_aux=None, axis_name: str = "seq",
+                                        interpret: Optional[bool] = None):
+    """Ulysses SP over a PACKED (multi-segment) batch.
+
+    Same all-to-all structure as :func:`ulysses_sink_flash_attention`; the
+    local-head kernel is the packed variant, so distributed packed training
+    keeps per-segment sinks/windows (the reference drops sink attention
+    entirely for packed batches — verl_patch.py:73-93, and its Ulysses
+    path inherits that fallback).
+
+    ``positions``: full [B, N] segment-local positions — every rank passes
+    the same (replicated) array; it is tiny (int32 per token) so no
+    resharding is worth it.
+    """
+    from ..ops.packed import sink_flash_attention_packed
+
+    sp = jax.lax.axis_size(axis_name)
+    B, H_q, n_local, D = q_local.shape
+    H_kv = k_local.shape[1]
+    assert H_q % sp == 0 and H_kv % sp == 0, (H_q, H_kv, sp)
+    assert positions.shape == (B, n_local * sp), positions.shape
+
+    def scatter_heads(x):
+        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    def gather_heads(x):
+        return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    q = scatter_heads(q_local)
+    k = scatter_heads(k_local)
+    v = scatter_heads(v_local)
+
+    aux_local = None
+    if s_aux is not None:
+        aux_local = slice_s_aux_for_rank(s_aux, H_q // sp, axis_name)
+
+    out = sink_flash_attention_packed(
+        q, k, v, positions, num_sink=num_sink, window_size=window_size,
+        s_aux=aux_local, interpret=interpret)
     return gather_heads(out)

@@ -265,3 +265,39 @@ def test_packed_cross_entropy_matches_per_segment():
         params)
     flat = jax.tree.leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
+
+
+def test_ulysses_packed_matches_single_device():
+    """Ulysses SP over a packed batch == single-device packed kernel."""
+    from sink_attention_tpu.ops.packed import sink_flash_attention_packed
+    from sink_attention_tpu.parallel import (
+        make_mesh, ulysses_sink_flash_attention_packed)
+    from jax.sharding import PartitionSpec as P
+
+    B, Hq, Hkv, N, D = 1, 4, 2, 256, 32
+    ns, W = 4, 64
+    segs = [100, 30, 70, 56]
+    pos = jnp.concatenate(
+        [jnp.arange(L, dtype=jnp.int32) for L in segs])[None]
+    ks = jax.random.split(jax.random.PRNGKey(30), 4)
+    q = jax.random.normal(ks[0], (B, Hq, N, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, N, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, N, D), jnp.float32)
+    aux = jax.random.normal(ks[3], (Hq,), jnp.float32)
+
+    ref = sink_flash_attention_packed(q, k, v, pos, ns, W, s_aux=aux,
+                                      block_q=32, block_kv=32)
+
+    mesh = make_mesh({"seq": 2}, devices=jax.devices()[:2])
+    spec = P(None, None, "seq", None)
+
+    def island(q, k, v, pos, aux):
+        return ulysses_sink_flash_attention_packed(
+            q, k, v, pos, num_sink=ns, window_size=W, s_aux=aux,
+            axis_name="seq")
+
+    fn = jax.shard_map(island, mesh=mesh,
+                       in_specs=(spec, spec, spec, P(), P()),
+                       out_specs=spec, check_vma=False)
+    out = fn(q, k, v, pos, aux)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
