@@ -1,4 +1,5 @@
-from .mesh import make_mesh, replicated, shard, DATA_AXIS, SEQ_AXIS, MODEL_AXIS
+from .mesh import (make_mesh, make_multihost_mesh, replicated, shard,
+                   DATA_AXIS, SEQ_AXIS, MODEL_AXIS)
 from .sp import (
     broadcast_sink_kv,
     reduce_sink_grads,
@@ -19,6 +20,7 @@ from .pp import (
 
 __all__ = [
     "make_mesh",
+    "make_multihost_mesh",
     "replicated",
     "shard",
     "DATA_AXIS",

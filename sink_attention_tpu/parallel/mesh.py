@@ -39,3 +39,54 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
+
+
+def make_multihost_mesh(axis_sizes: Dict[str, int],
+                        dcn_axes: Sequence[str] = (DATA_AXIS,),
+                        initialize: bool = False) -> Mesh:
+    """Mesh for a multi-host slice: DCN-parallel axes x ICI axes.
+
+    The BASELINE north star targets "tensor-sharded weights + KV across a
+    multi-host v5p slice, ring KV collectives over ICI". The layout rule:
+    axes named in ``dcn_axes`` (typically 'data') split across HOSTS over
+    the data-center network, everything else (model/seq — the axes
+    carrying attention/TP/ring collectives) stays inside each host's ICI
+    domain, via ``mesh_utils.create_hybrid_device_mesh``.
+
+    ``initialize=True`` calls ``jax.distributed.initialize()`` first
+    (no-op requirements on TPU pods: coordinator discovery is automatic).
+    On a single host this degrades to a plain :func:`make_mesh`.
+    """
+    if initialize:  # pragma: no cover - needs a real multi-host slice
+        jax.distributed.initialize()
+    n_hosts = jax.process_count()
+    names = tuple(axis_sizes.keys())
+    sizes = tuple(axis_sizes.values())
+    if n_hosts == 1:
+        return make_mesh(axis_sizes)
+    from jax.experimental import mesh_utils  # pragma: no cover
+
+    # Distribute the hosts over the dcn axes (in order); each dcn axis
+    # keeps its remaining factor on ICI. prod(dcn) must equal n_hosts.
+    remaining = n_hosts
+    dcn = []
+    for n in names:
+        if n in dcn_axes and remaining > 1:
+            f = _gcd(axis_sizes[n], remaining)
+            dcn.append(f)
+            remaining //= f
+        else:
+            dcn.append(1)
+    assert remaining == 1, (
+        f"cannot split {n_hosts} hosts over dcn axes {dcn_axes} "
+        f"with sizes {axis_sizes}")
+    ici = tuple(s // d for s, d in zip(sizes, dcn))
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=ici, dcn_mesh_shape=tuple(dcn))
+    return Mesh(arr, names)
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
