@@ -227,3 +227,19 @@ def test_engine_eos_frees_slot():
     res = eng.run()
     assert len(res[r2]) <= 3 and len(res[r1]) <= 50
     assert r1 in res and r2 in res
+
+
+def test_prompt_longer_than_window():
+    """Prompts longer than the sliding window prefill correctly: the cache
+    keeps sinks + the last window, decode continues from there."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    cfg = ModelConfig.tiny(num_layers=1, vocab_size=64, sliding_window=16)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=1, max_len=128,
+                                   prefill_bucket=16, dtype=jnp.float32)
+    rid = eng.submit(list(range(1, 50)), max_new_tokens=4)  # 49 > W=16
+    out = eng.run()
+    assert len(out[rid]) == 4
+    assert all(0 <= t < 64 for t in out[rid])
