@@ -229,8 +229,23 @@ class SinkKVCache:
         return self.prefill(k_new, v_new)
 
     def reorder(self, beam_idx: jax.Array) -> "SinkKVCache":
-        """Beam-search batch reorder (reference cache.py:230-238)."""
-        take = lambda x: jnp.take(x, beam_idx, axis=0)
+        """Beam-search batch reorder (reference cache.py:230-238).
+
+        Small batches unroll to per-row dynamic slices: a batched
+        ``jnp.take`` of big rows lowers to a one-hot contraction on TPU
+        (reads the WHOLE buffer per output row — the same trap as the
+        expert gather, models/model.py), which matters because beam
+        search reorders every layer's cache every decode step.
+        """
+        n = int(beam_idx.shape[0])
+        if n <= 16:
+            def take(x):
+                return jnp.stack([
+                    jax.lax.dynamic_index_in_dim(x, beam_idx[i],
+                                                 keepdims=False)
+                    for i in range(n)])
+        else:
+            take = lambda x: jnp.take(x, beam_idx, axis=0)
         return self.replace(k=take(self.k), v=take(self.v),
                             k_scale=take(self.k_scale),
                             v_scale=take(self.v_scale))

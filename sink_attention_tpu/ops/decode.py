@@ -169,8 +169,15 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
         sc = sc.reshape(B * H_kv, 1, s_total).astype(jnp.float32)
         return jnp.broadcast_to(sc, (B * H_kv, SUBLANES, s_total))
 
-    ks = pack_scale(k_scale)
-    vs = pack_scale(v_scale)
+    if quantized:
+        ks = pack_scale(k_scale)
+        vs = pack_scale(v_scale)
+    else:
+        # the kernel never reads scales when unquantized: pass one dummy
+        # block with a constant index map so no per-step scale DMAs are
+        # pipelined (the decode step is HBM-bound; all-ones scale tiles
+        # were ~12% dead traffic)
+        ks = vs = jnp.ones((1, SUBLANES, block_s), jnp.float32)
 
     use_aux = s_aux is not None
     if use_aux:
@@ -195,11 +202,13 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
             pl.BlockSpec((1, block_s, d_pad), kv_index),
             pl.BlockSpec((1, block_s, d_pad), kv_index),
             pl.BlockSpec((1, SUBLANES, block_s),
-                         lambda bh, s, lens: kv_index(bh, s, lens)[:1] +
-                         (0, kv_index(bh, s, lens)[1])),
+                         (lambda bh, s, lens: kv_index(bh, s, lens)[:1] +
+                          (0, kv_index(bh, s, lens)[1])) if quantized
+                         else (lambda bh, s, lens: (0, 0, 0))),
             pl.BlockSpec((1, SUBLANES, block_s),
-                         lambda bh, s, lens: kv_index(bh, s, lens)[:1] +
-                         (0, kv_index(bh, s, lens)[1])),
+                         (lambda bh, s, lens: kv_index(bh, s, lens)[:1] +
+                          (0, kv_index(bh, s, lens)[1])) if quantized
+                         else (lambda bh, s, lens: (0, 0, 0))),
             pl.BlockSpec((1, g_pad, LANES),
                          (lambda bh, s, lens: (bh % H_kv, 0, 0)) if use_aux
                          else (lambda bh, s, lens: (0, 0, 0))),

@@ -404,20 +404,30 @@ def _dkdv_q_step(ni, step, q_off, kv_off, *, bm, bn, num_sink, window,
                  n_kv, n_q_blocks, sink_pass):
     """Q-block (local index) + validity for dK/dV step ``step`` at KV block ni.
 
-    ``sink_pass`` statically selects the iteration bound semantics: sink KV
-    blocks are attended by every later query block (reference :321-336);
-    window KV blocks only by blocks within the window span (reference
-    :337-357).
+    ``sink_pass`` selects the iteration bound semantics: sink KV blocks
+    are attended by every later query block (reference :321-336); window
+    KV blocks only by blocks within the window span (reference :337-357).
+    ``sink_pass=None`` decides PER BLOCK from the traced offsets (the
+    chunked/SP-halo path, where kv_offset may be negative and the global
+    sink columns land at an offset-dependent local block — a static
+    block-range split would drop their out-of-window gradients).
     """
     kv_gstart = ni * bn + kv_off
     # First query that can attend this KV block (causal): q >= kv_gstart.
     q_bstart = jnp.maximum((kv_gstart - q_off) // bm, 0)
-    if sink_pass:
+    # Last query attending via the window: kv_gstart + bn - 1 + window - 1.
+    max_q_g = kv_gstart + bn + window - 2
+    win_bend = jnp.minimum((max_q_g - q_off) // bm + 1, n_q_blocks)
+    if sink_pass is None:
+        if num_sink > 0:
+            has_sink = (kv_gstart < num_sink) & (kv_gstart + bn > 0)
+            q_bend = jnp.where(has_sink, n_q_blocks, win_bend)
+        else:
+            q_bend = win_bend
+    elif sink_pass:
         q_bend = n_q_blocks
     else:
-        # Last query attending: kv_gstart + bn - 1 + window - 1.
-        max_q_g = kv_gstart + bn + window - 2
-        q_bend = jnp.minimum((max_q_g - q_off) // bm + 1, n_q_blocks)
+        q_bend = win_bend
     q_block = q_bstart + step
     valid = (q_block < q_bend) & (q_block >= 0) & (kv_gstart < n_kv + kv_off)
     return jnp.clip(q_block, 0, n_q_blocks - 1), valid
@@ -809,8 +819,20 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
 
     q_steps_win = max(1, min(_cdiv(window + bn + bm, bm) +
                              (0 if aligned else 1), n_q_blocks))
-    dk_sink, dv_sink = run_dkdv(0, nsb, max(n_q_blocks, 1), sink_pass=True)
-    dk_win, dv_win = run_dkdv(nsb, n_kv_blocks, q_steps_win, sink_pass=False)
+    if kv_starts_at_zero:
+        # Static split: sink columns occupy the first nsb local blocks.
+        dk_sink, dv_sink = run_dkdv(0, nsb, max(n_q_blocks, 1),
+                                    sink_pass=True)
+        dk_win, dv_win = run_dkdv(nsb, n_kv_blocks, q_steps_win,
+                                  sink_pass=False)
+    else:
+        # Traced / possibly-negative kv_offset (chunked, ring, SP halo):
+        # the global sink columns land at an offset-dependent local block,
+        # so sink-vs-window semantics are decided per block inside the
+        # kernel (sink_pass=None) with the O(n_q_blocks) trip bound.
+        dk_sink = dv_sink = None
+        dk_win, dv_win = run_dkdv(0, n_kv_blocks, max(n_q_blocks, 1),
+                                  sink_pass=None)
 
     parts_k = [x for x in (dk_sink, dk_win) if x is not None]
     parts_v = [x for x in (dv_sink, dv_win) if x is not None]

@@ -92,7 +92,14 @@ def sp_sink_flash_attention(q_local, k_local, v_local, num_sink: int = 4,
     q_off = r * n_local
 
     halo = _round_up(max(window_size - 1, 0), 128)
-    halo = min(halo, n_local)  # a window larger than a shard needs ring attn
+    # One-neighbor halo covers at most one shard of left context; a wider
+    # window silently loses cross-shard context, so refuse at trace time
+    # (use parallel.ring.ring_sink_flash_attention for that regime).
+    assert window_size - 1 <= n_local, (
+        f"window_size={window_size} exceeds shard length {n_local}: "
+        "halo SP is exact only for window_size - 1 <= n_local; use "
+        "ring_sink_flash_attention instead")
+    halo = min(halo, n_local)  # 128-alignment may round past the shard
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     halo_k = jax.lax.ppermute(k_local[:, :, n_local - halo:], axis_name, perm)
     halo_v = jax.lax.ppermute(v_local[:, :, n_local - halo:], axis_name, perm)

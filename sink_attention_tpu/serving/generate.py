@@ -38,13 +38,18 @@ def prefill_and_caches(params, cfg: ModelConfig, input_ids,
 
 def decode_loop(params, cfg: ModelConfig, first_token, caches,
                 start_pos: int, steps: int,
-                interpret: Optional[bool] = None):
-    """Greedy lax.scan decode: returns tokens [B, steps + 1]."""
+                interpret: Optional[bool] = None, attn_impl=None):
+    """Greedy lax.scan decode: returns tokens [B, steps + 1].
+
+    ``attn_impl(q, cache, s_aux)`` overrides the decode attention (e.g.
+    the shard_map island used by serving.sharded).
+    """
 
     def step(carry, _):
         caches, tok, pos = carry
         logits, caches = forward_decode(params, cfg, tok[:, None], caches,
-                                        pos, interpret=interpret)
+                                        pos, interpret=interpret,
+                                        attn_impl=attn_impl)
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         return (caches, nxt, pos + 1), nxt
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.config import ModelConfig
-from ..models.model import forward_decode, forward_prefill, make_caches
+from ..models.model import forward_prefill, make_caches
 from ..ops import sink_decode_attention_cached, sink_flash_attention
 from ..parallel.train import param_shardings
 
@@ -108,20 +108,13 @@ def make_sharded_generate(cfg: ModelConfig, mesh: Mesh,
                                          attn_impl=prefill_attn,
                                          interpret=interpret)
         first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-
-        def step(carry, _):
-            caches, tok, pos = carry
-            logits, caches = forward_decode(
-                params, cfg, tok[:, None], caches, pos,
-                interpret=interpret, attn_impl=decode_attn)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            return (caches, nxt, pos + 1), nxt
-
         if max_new_tokens == 1:
             return first[:, None]
-        carry = (caches, first, jnp.int32(N))
-        _, toks = jax.lax.scan(step, carry, length=max_new_tokens - 1)
-        return jnp.concatenate([first[:, None], toks.T], axis=1)
+        from .generate import decode_loop
+        toks, _ = decode_loop(params, cfg, first, caches, start_pos=N,
+                              steps=max_new_tokens - 1, interpret=interpret,
+                              attn_impl=decode_attn)
+        return toks
 
     gen = jax.jit(
         generate,

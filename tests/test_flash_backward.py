@@ -124,3 +124,42 @@ def test_ds_aux_matches_finite_differences():
         e = jnp.zeros_like(aux).at[h].set(eps)
         numeric[h] = (float(loss(aux + e)) - float(loss(aux - e))) / (2 * eps)
     np.testing.assert_allclose(analytic, numeric, atol=5e-2, rtol=5e-2)
+
+
+def test_chunk_backward_negative_kv_offset_sink_grads():
+    """SP-halo layout: kv_offset < 0 puts the global sink columns at a
+    nonzero local block. dK/dV must include out-of-window sink
+    contributions (regression: the static sink/window pass split dropped
+    them — sink grads were wrong by O(0.3) while the forward was exact)."""
+    from sink_attention_tpu.ops.flash import sink_flash_attention_chunk
+
+    B, H, D = 1, 2, 32
+    n_q, halo, ns, W, bn = 256, 256, 4, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(40), 3)
+    q = jax.random.normal(ks[0], (B, H, n_q, D), jnp.float32)
+    kv_g = jax.random.normal(ks[1], (B, H, n_q, D), jnp.float32)
+    vv_g = jax.random.normal(ks[2], (B, H, n_q, D), jnp.float32)
+    # local KV = [halo of pre-sequence garbage | the real sequence]
+    garbage = jnp.full((B, H, halo, D), 7.7, jnp.float32)
+    k_loc = jnp.concatenate([garbage, kv_g], axis=2)
+    v_loc = jnp.concatenate([garbage, vv_g], axis=2)
+    offsets = jnp.array([0, -halo], jnp.int32)
+
+    def loss_chunk(q, k, v):
+        out, _ = sink_flash_attention_chunk(q, k, v, offsets, ns, W,
+                                            block_q=64, block_kv=bn)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(eager_sink_attention(q, k, v, ns, W) ** 2)
+
+    gq, gk, gv = jax.grad(loss_chunk, (0, 1, 2))(q, k_loc, v_loc)
+    rq, rk, rv = jax.grad(loss_ref, (0, 1, 2))(q, kv_g, vv_g)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=2e-4)
+    # grads on the real slots match; garbage halo slots get zero grads
+    np.testing.assert_allclose(np.asarray(gk[:, :, halo:]), np.asarray(rk),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv[:, :, halo:]), np.asarray(rv),
+                               atol=2e-4)
+    assert float(jnp.abs(gk[:, :, :halo]).max()) == 0.0
+    assert float(jnp.abs(gv[:, :, :halo]).max()) == 0.0
