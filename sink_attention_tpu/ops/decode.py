@@ -152,8 +152,15 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
     g_pad = _round_up(group, 16)
 
     if block_s is None:
-        block_s = 512 if s_total % 512 == 0 else (
-            256 if s_total % 256 == 0 else LANES)
+        # Largest 128-multiple divisor of s_total up to 1024: per-grid-step
+        # overhead dominates this kernel (the headline 4224-slot cache ran
+        # 33 steps/head at block_s=128; 384 -> 11), so fewer, bigger steps
+        # win until VMEM.
+        block_s = LANES
+        for cand in range(1024, LANES - 1, -LANES):
+            if s_total % cand == 0:
+                block_s = cand
+                break
     assert s_total % block_s == 0, (s_total, block_s)
     steps = s_total // block_s
 
