@@ -267,8 +267,8 @@ class RaggedSinkKVCache:
 
     def dequant_kv(self):
         if self.quant:
-            return (dequantize(self.k, self.k_scale),
-                    dequantize(self.v, self.v_scale))
+            return (dequantize(self.k, self.k_scale, self.quant),
+                    dequantize(self.v, self.v_scale, self.quant))
         return self.k, self.v
 
     def linearized_kv_slot(self, slot: int, head_dim: Optional[int] = None):

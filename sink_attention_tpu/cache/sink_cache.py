@@ -42,13 +42,19 @@ def _round_up(a: int, b: int) -> int:
 
 
 QUANT_MAX = {"int8": 127.0, "fp8": 448.0}
-QUANT_DTYPE = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}
+# fp8 stores e4m3 BIT PATTERNS in int8 buffers: float8 dtype buffers get no
+# native handling on pre-v6 TPUs (and cannot cross the axon jit boundary),
+# while an int8 buffer DMAs at full speed and the bitcast + convert to bf16
+# is a single in-kernel VPU pass (ops/decode.py).
+QUANT_DTYPE = {"int8": jnp.int8, "fp8": jnp.int8}
 
 
 def quantize(x: jax.Array, quant: str, axis: int = -1):
     """Symmetric per-slice quantization along ``axis`` (usually head_dim).
 
-    Returns (codes, scale) with x ≈ codes * scale[..., None].
+    Returns (codes, scale) with x ≈ decode(codes) * scale[..., None].
+    int8: codes are the int values; fp8: codes are float8_e4m3fn bit
+    patterns bitcast into int8 (see QUANT_DTYPE note).
     """
     qmax = QUANT_MAX[quant]
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis)
@@ -58,11 +64,15 @@ def quantize(x: jax.Array, quant: str, axis: int = -1):
     if quant == "int8":
         codes = jnp.round(jnp.clip(scaled, -qmax, qmax)).astype(jnp.int8)
     else:
-        codes = jnp.clip(scaled, -qmax, qmax).astype(jnp.float8_e4m3fn)
+        f8 = jnp.clip(scaled, -qmax, qmax).astype(jnp.float8_e4m3fn)
+        codes = jax.lax.bitcast_convert_type(f8, jnp.int8)
     return codes, scale
 
 
-def dequantize(codes: jax.Array, scale: jax.Array) -> jax.Array:
+def dequantize(codes: jax.Array, scale: jax.Array,
+               quant: str = "int8") -> jax.Array:
+    if quant == "fp8":
+        codes = jax.lax.bitcast_convert_type(codes, jnp.float8_e4m3fn)
     return codes.astype(jnp.float32) * scale[..., None].astype(jnp.float32)
 
 
@@ -255,8 +265,8 @@ class SinkKVCache:
     def dequant_kv(self):
         """Full-capacity dequantized buffers [B,H,S_total,D_pad] fp32/bf16."""
         if self.quant:
-            return (dequantize(self.k, self.k_scale),
-                    dequantize(self.v, self.v_scale))
+            return (dequantize(self.k, self.k_scale, self.quant),
+                    dequantize(self.v, self.v_scale, self.quant))
         return self.k, self.v
 
     def linearized_kv(self, head_dim: Optional[int] = None):

@@ -11,6 +11,15 @@ the GPU package find every entry point:
 | SinkCacheLayer               | compat.SinkCacheLayer (mutable wrapper over |
 |                              | the functional cache.SinkKVCache)           |
 | SinkAttentionCache           | compat.SinkAttentionCache (multi-layer)     |
+
+Note: unlike the reference's ``SinkAttentionCache`` (cache.py:241-330),
+the class here is NOT a ``transformers.Cache`` subclass — this package is
+torch-free, so HF ``isinstance`` checks do not apply; it matches the
+reference cache's *behavioral* contract (update/get_kv/get_seq_length/
+reorder semantics, pinned by tests/test_compat.py), not its type
+hierarchy. Use models.hf_loader to bring HF checkpoints into the owned
+model instead of passing this cache to ``transformers.generate``.
+
 | prepare_sink_kv_for_sp       | parallel.broadcast_sink_kv (axis_name       |
 |                              | instead of a process group)                 |
 | reduce_sink_kv_grads         | parallel.reduce_sink_grads                  |

@@ -63,6 +63,21 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dequant_block(x, quant):
+    """In-kernel decode of a stored KV tile to bf16.
+
+    int8: one convert pass. fp8: the int8 tile holds float8_e4m3fn bit
+    patterns (cache.sink_cache.QUANT_DTYPE) — bitcast (free, layout-only)
+    then one convert pass; fp8-dtype buffers themselves are avoided
+    because pre-v6 TPUs have no native fp8 path (an fp8-dtype cache
+    measured 4.1x slower than bf16 on v5e; bits-in-int8 restores parity
+    with the int8 path).
+    """
+    if quant == "fp8":
+        x = pltpu.bitcast(x, jnp.float8_e4m3fn)
+    return x.astype(jnp.bfloat16)
+
+
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
                    o_ref, acc_ref, m_ref, l_ref, *, scale, sink_cap, block_s,
                    steps, use_aux, quantized, window_size, h_kv):
@@ -87,9 +102,9 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
     @pl.when(step_valid)
     def _body():
         q = q_ref[0]  # [g_pad, d_pad]
-        k = k_ref[0]  # [block_s, d_pad] (possibly quantized dtype)
+        k = k_ref[0]  # [block_s, d_pad] (possibly quantized storage)
         g_pad = q.shape[0]
-        kc = k.astype(jnp.bfloat16) if quantized else k
+        kc = _dequant_block(k, quantized) if quantized else k
         s = jax.lax.dot_general(
             q.astype(kc.dtype), kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [g_pad, block_s]
@@ -121,7 +136,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
         v = v_ref[0]
-        vc = v.astype(jnp.bfloat16) if quantized else v
+        vc = _dequant_block(v, quantized) if quantized else v
         if quantized:
             p = p * vs_ref[0, 0][None, :]
         pv = jax.lax.dot_general(
@@ -138,7 +153,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
 
 def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
                  sink_cap: int, window_size: int, scale: float,
-                 quantized: bool, block_s: Optional[int],
+                 quantized, block_s: Optional[int],
                  interpret: Optional[bool]):
     """q: [B, H_q, 1, D]; k_buf/v_buf: [B, H_kv, S_total, D_pad];
     lens: [B, 4] int32 rows (sink_len, window_len, write_pos, hwm)."""
@@ -297,7 +312,7 @@ def sink_decode_attention_cached(q, cache: SinkKVCache, s_aux=None,
     return _decode_call(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, lens, s_aux,
         sink_cap=cache.sink_cap, window_size=cache.window_size,
-        scale=1.0 / (D**0.5), quantized=cache.quant is not None,
+        scale=1.0 / (D**0.5), quantized=cache.quant,
         block_s=block_s, interpret=interpret)
 
 
@@ -319,7 +334,7 @@ def sink_decode_attention_ragged(q, cache, s_aux=None,
     return _decode_call(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, lens, s_aux,
         sink_cap=cache.sink_cap, window_size=cache.window_size,
-        scale=1.0 / (D**0.5), quantized=cache.quant is not None,
+        scale=1.0 / (D**0.5), quantized=cache.quant,
         block_s=block_s, interpret=interpret)
 
 

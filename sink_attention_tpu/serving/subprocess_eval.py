@@ -21,7 +21,7 @@ from typing import List, Optional, Sequence
 __all__ = ["subprocess_generate"]
 
 _WORKER = r"""
-import json, sys
+import json, os, sys
 
 cfg_path, out_path = sys.argv[1], sys.argv[2]
 with open(cfg_path) as f:
@@ -29,6 +29,11 @@ with open(cfg_path) as f:
 
 import jax
 import jax.numpy as jnp
+
+# Platform plugins (e.g. the axon TPU tunnel) can override the env var;
+# force the requested platform through the config as well.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from sink_attention_tpu.models import (ModelConfig, init_params,
                                        load_hf_checkpoint)
