@@ -35,13 +35,15 @@ class ModelConfig:
     # 0 (its "sink" is the learnable s_aux logit); the reference kernel's
     # num_sink>0 mode is fully supported for streaming inference.
     num_sink_tokens: int = 0
-    # MoE decode path selector: the per-token dynamic-slice "gather" path
-    # is used when tokens <= this (measured 5.7x faster at T=1 on v5e,
-    # where reading all experts dominates); beyond it the dense
-    # all-experts batched-matmul formulation wins (the unrolled gather's
-    # sequential tiny matmuls scale linearly with T: 8-slot engine decode
-    # measured ~4x slower on the gather path).
-    moe_gather_token_limit: int = 1
+    # MoE decode path selector: the grouped-by-expert scan (one step per
+    # distinct routed expert, all tokens batched per step — model.moe) is
+    # used when tokens <= this; beyond it the dense all-experts
+    # batched-matmul formulation wins (at large T every expert's weights
+    # are read anyway and the MXU prefers one big contraction). Decode at
+    # small T is HBM-bound on expert weights: T=1 reads k=4 of 32 experts
+    # (measured 5.7x over dense on v5e in round 1); T=8 reads the ~20
+    # distinct routed experts instead of 32.
+    moe_grouped_token_limit: int = 8
 
     def __post_init__(self):
         if self.layer_types is None:

@@ -75,18 +75,23 @@ def _expert_mm(x: jax.Array, w, eq: str) -> jax.Array:
 def _routed_expert_mm(xt: jax.Array, w, e) -> jax.Array:
     """One routed expert's matmul: dynamic-slice expert ``e`` (reading only
     its weights from HBM — see the moe() docstring) and apply it to the
-    [K] vector ``xt``; handles plain / int8 / packed-int4 forms."""
+    [K] vector or [T, K] matrix ``xt``; handles plain / int8 / packed-int4
+    forms."""
+    vec = xt.ndim == 1
+    xm = xt[None] if vec else xt
     if is_quantized4(w):
         from ..ops.int4 import int4_matmul
         wq = jax.lax.dynamic_index_in_dim(w["q4"], e, keepdims=False)
         ws = jax.lax.dynamic_index_in_dim(w["s"], e, keepdims=False)
-        return int4_matmul(xt[None], wq, ws)[0]
-    if is_quantized(w):
+        y = int4_matmul(xm, wq, ws)
+    elif is_quantized(w):
         wq = jax.lax.dynamic_index_in_dim(w["q"], e, keepdims=False)
         ws = jax.lax.dynamic_index_in_dim(w["s"], e, keepdims=False)
-        return (xt @ wq.astype(xt.dtype)) * ws[0].astype(xt.dtype)
-    wf = jax.lax.dynamic_index_in_dim(w, e, keepdims=False)
-    return xt @ wf.astype(xt.dtype)
+        y = (xm @ wq.astype(xm.dtype)) * ws[0].astype(xm.dtype)
+    else:
+        wf = jax.lax.dynamic_index_in_dim(w, e, keepdims=False)
+        y = xm @ wf.astype(xm.dtype)
+    return y[0] if vec else y
 
 
 def _embed_lookup(embed, ids: jax.Array) -> jax.Array:
@@ -255,6 +260,49 @@ def _glu_act(gate_up: jax.Array) -> jax.Array:
     return (up + 1.0) * glu
 
 
+def _moe_grouped(p: dict, cfg: ModelConfig, xt: jax.Array,
+                 routing: jax.Array) -> jax.Array:
+    """Grouped-expert MoE: one scan step per ACTIVE expert.
+
+    ``routing``: [T, E] sparse combine weights (zeros for unrouted pairs).
+    Active experts (nonzero routing column) are compacted to the front of
+    the scan order; each step dynamic-slices ONE expert's weights and
+    applies it to every token at once — so HBM weight traffic is
+    ``distinct_routed_experts`` reads (vs E for the dense path, and vs
+    T*k duplicate-heavy reads for a per-token gather), and trace size is
+    constant in T (the round-1 per-token loop unrolled T*k slices).
+    Inactive/duplicate-free steps skip the weight read via lax.cond.
+    Exact for any T; intended for the HBM-bound decode regime.
+    """
+    T, H = xt.shape
+    E, k = cfg.num_experts, cfg.experts_per_tok
+    n_steps = min(T * k, E)
+    col_active = jnp.sum(routing, axis=0) > 0.0            # [E]
+    # stable argsort of (inactive?) puts active expert ids first
+    ids = jnp.argsort(jnp.where(col_active, 0, 1),
+                      stable=True)[:n_steps].astype(jnp.int32)
+
+    def step(acc, e):
+        w_col = jax.lax.dynamic_slice_in_dim(
+            routing, e, 1, axis=1)[:, 0]                   # [T]
+
+        def compute(acc):
+            gub = jax.lax.dynamic_index_in_dim(
+                p["gate_up_b"], e, keepdims=False).astype(xt.dtype)
+            pre = _routed_expert_mm(xt, p["gate_up"], e)   # [T, 2I]
+            act = _glu_act(pre + gub)
+            dwb = jax.lax.dynamic_index_in_dim(
+                p["down_b"], e, keepdims=False).astype(act.dtype)
+            down = _routed_expert_mm(act, p["down"], e)    # [T, H]
+            return acc + w_col[:, None] * (down + dwb).astype(jnp.float32)
+
+        acc = jax.lax.cond(jnp.any(w_col > 0.0), compute, lambda a: a, acc)
+        return acc, None
+
+    out, _ = jax.lax.scan(step, jnp.zeros((T, H), jnp.float32), ids)
+    return out
+
+
 def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     """gpt-oss MoE block. x: [B, N, H] -> [B, N, H].
 
@@ -264,11 +312,12 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
       expert, combined with the sparse routing weights — big batched
       matmuls, MXU-friendly, and every expert's weights are read anyway at
       large T.
-    * **Gather-top-k** (decode, small T): when ``T * k <= E`` the dense
-      path would read E experts' weights to use at most T*k — decode is
-      HBM-bound, so gather only the routed experts' slices
-      ([T, k, H, I] via take) and run per-token small matmuls. At B=1,
-      k=4, E=32 this cuts MoE weight traffic 8x.
+    * **Grouped-by-expert** (decode, T <= moe_grouped_token_limit): decode
+      is HBM-bound on weights, so scan over the distinct routed experts
+      and batch all tokens per expert (see ``_moe_grouped``). At B=1,
+      k=4, E=32 this cuts MoE weight traffic 8x; at 8 slots it reads only
+      the ~20 distinct routed experts instead of all 32, in one fused
+      scan instead of 32 sequential per-token matmuls.
     """
     B, N, H = x.shape
     T = B * N
@@ -278,32 +327,13 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     vals, idx = jax.lax.top_k(logits, cfg.experts_per_tok)
     weights = jax.nn.softmax(vals, axis=-1)
 
-    if (T <= cfg.moe_gather_token_limit and
-            T * cfg.experts_per_tok <= cfg.num_experts):
-        # Unrolled dynamic slices, NOT jnp.take: XLA lowers a batched
-        # gather of big rows to a one-hot contraction on TPU, which reads
-        # EVERY expert's weights — defeating the point. dynamic_index with
-        # a traced scalar reads only the routed slice.
-        out = jnp.zeros((T, H), jnp.float32)
-        for t in range(T):
-            xtt = xt[t]
-            acc = jnp.zeros((H,), jnp.float32)
-            for kk in range(cfg.experts_per_tok):
-                e = idx[t, kk]
-                gub = jax.lax.dynamic_index_in_dim(
-                    p["gate_up_b"], e, keepdims=False).astype(xtt.dtype)
-                pre = _routed_expert_mm(xtt, p["gate_up"], e)
-                act = _glu_act(pre + gub)
-                dwb = jax.lax.dynamic_index_in_dim(
-                    p["down_b"], e, keepdims=False).astype(act.dtype)
-                down = _routed_expert_mm(act, p["down"], e)
-                acc = acc + weights[t, kk] * (down + dwb).astype(
-                    jnp.float32)
-            out = out.at[t].set(acc)
-        return out.reshape(B, N, H).astype(x.dtype)
-
     routing = jnp.zeros((T, cfg.num_experts), jnp.float32)
     routing = routing.at[jnp.arange(T)[:, None], idx].set(weights)
+
+    if T <= cfg.moe_grouped_token_limit:
+        out = _moe_grouped(p, cfg, xt, routing)
+        return out.reshape(B, N, H).astype(x.dtype)
+
     gate_up = _expert_mm(xt, p["gate_up"], "th,ehi->eti")
     gate_up = gate_up + p["gate_up_b"].astype(gate_up.dtype)[:, None, :]
     act = _glu_act(gate_up)

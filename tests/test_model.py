@@ -137,9 +137,12 @@ def test_generate_matches_teacher_forcing():
         assert preds[0, 7 + i] == toks[0, i], (i, preds[0, 7 + i], toks[0, i])
 
 
-def test_moe_gather_matches_dense():
-    """The decode-time gather-top-k MoE path must equal the dense-all-
-    experts formulation (same routing, same activation)."""
+def test_moe_grouped_matches_dense():
+    """The decode-time grouped-by-expert MoE scan must equal the
+    dense-all-experts formulation (same routing, same activation) for any
+    token count — including T where distinct routed experts < T*k and
+    T*k > E (duplicate-heavy routing)."""
+    import dataclasses
     from sink_attention_tpu.models import ModelConfig, init_params
     from sink_attention_tpu.models.model import moe
 
@@ -147,13 +150,15 @@ def test_moe_gather_matches_dense():
                            hidden_size=32, num_layers=1)
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
     mlp = params["layers"][0]["mlp"]
-    x1 = jax.random.normal(jax.random.PRNGKey(1), (1, 1, cfg.hidden_size))
-    # T=1, T*k=2 <= E=8 -> gather path
-    out_gather = moe(mlp, cfg, x1)
-    # T=5 identical rows, T*k=10 > 8 -> dense path; row 0 must match
-    out_dense = moe(mlp, cfg, jnp.tile(x1, (1, 5, 1)))[:, :1]
-    np.testing.assert_allclose(np.asarray(out_gather),
-                               np.asarray(out_dense), atol=1e-5, rtol=1e-5)
+    cfg_grouped = dataclasses.replace(cfg, moe_grouped_token_limit=16)
+    cfg_dense = dataclasses.replace(cfg, moe_grouped_token_limit=0)
+    for T in (1, 3, 8):
+        x = jax.random.normal(jax.random.PRNGKey(T),
+                              (1, T, cfg.hidden_size))
+        out_g = moe(mlp, cfg_grouped, x)
+        out_d = moe(mlp, cfg_dense, x)
+        np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
+                                   atol=1e-5, rtol=1e-5, err_msg=f"T={T}")
 
 
 def test_beam_search():
