@@ -275,7 +275,7 @@ def _moe_grouped(p: dict, cfg: ModelConfig, xt: jax.Array,
     Exact for any T; intended for the HBM-bound decode regime.
     """
     T, H = xt.shape
-    E, k = cfg.num_experts, cfg.experts_per_tok
+    E, k = routing.shape[1], cfg.experts_per_tok
     n_steps = min(T * k, E)
     col_active = jnp.sum(routing, axis=0) > 0.0            # [E]
     # stable argsort of (inactive?) puts active expert ids first
@@ -322,25 +322,41 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     B, N, H = x.shape
     T = B * N
     xt = x.reshape(T, H)
+    routing = moe_routing(p, cfg, xt)
+    out = moe_experts(p, cfg, xt, routing)
+    return out.reshape(B, N, H).astype(x.dtype)
+
+
+def moe_routing(p: dict, cfg: ModelConfig, xt: jax.Array) -> jax.Array:
+    """Router: xt [T, H] -> sparse combine weights [T, E_total].
+
+    E_total comes from the (always-replicated) router weights, so under
+    expert parallelism this is the FULL expert count even when ``p`` holds
+    only a local expert slice — the TP layer slices the columns
+    (parallel/tp.py)."""
+    T = xt.shape[0]
     logits = (xt @ p["router_w"].astype(xt.dtype) +
               p["router_b"].astype(xt.dtype)).astype(jnp.float32)
     vals, idx = jax.lax.top_k(logits, cfg.experts_per_tok)
     weights = jax.nn.softmax(vals, axis=-1)
+    routing = jnp.zeros((T, logits.shape[-1]), jnp.float32)
+    return routing.at[jnp.arange(T)[:, None], idx].set(weights)
 
-    routing = jnp.zeros((T, cfg.num_experts), jnp.float32)
-    routing = routing.at[jnp.arange(T)[:, None], idx].set(weights)
 
+def moe_experts(p: dict, cfg: ModelConfig, xt: jax.Array,
+                routing: jax.Array) -> jax.Array:
+    """Expert compute+combine: xt [T, H], routing [T, E] (E = the expert
+    count held in ``p`` — local under EP) -> [T, H] fp32."""
+    T = xt.shape[0]
     if T <= cfg.moe_grouped_token_limit:
-        out = _moe_grouped(p, cfg, xt, routing)
-        return out.reshape(B, N, H).astype(x.dtype)
-
+        return _moe_grouped(p, cfg, xt, routing)
     gate_up = _expert_mm(xt, p["gate_up"], "th,ehi->eti")
     gate_up = gate_up + p["gate_up_b"].astype(gate_up.dtype)[:, None, :]
     act = _glu_act(gate_up)
     out = _expert_mm(act, p["down"], "eti,eih->eth")
     out = out + p["down_b"].astype(out.dtype)[:, None, :]
-    out = jnp.einsum("eth,te->th", out, routing.astype(out.dtype))
-    return out.reshape(B, N, H).astype(x.dtype)
+    return jnp.einsum("eth,te->th", out,
+                      routing.astype(out.dtype)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -143,3 +143,86 @@ def test_pp_grads_match_single_device():
                       jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_pp_with_tp_matches_reference():
+    """PP x TP/EP: heads+experts sharded over 'model' inside the pipeline
+    island (parallel/tp.py conjugate operators). Loss AND grads must match
+    the single-device reference."""
+    cfg = dataclasses.replace(
+        _cfg(2), num_heads=4, num_kv_heads=2, num_experts=4,
+        layer_types=("sliding_attention",) * 2)
+    params = init_params(cfg, jax.random.PRNGKey(9), jnp.float32)
+    batch = jax.random.randint(jax.random.PRNGKey(10), (4, 17), 0,
+                               cfg.vocab_size)
+    ref_loss = float(cross_entropy_loss(params, cfg, batch))
+    ref_grads = jax.grad(cross_entropy_loss)(params, cfg, batch)
+
+    mesh = make_mesh({"pipe": 2, "model": 2}, devices=jax.devices()[:4])
+    optimizer = optax.sgd(1.0)  # update == -grad
+    step, shardings = make_pp_train_step(cfg, mesh, optimizer,
+                                         num_microbatches=2)
+    pp_params = jax.device_put(stack_pipeline_params(params, 2), shardings)
+    opt_state = optimizer.init(pp_params)
+    pp_params2, _, loss = step(pp_params, opt_state, batch)
+    assert abs(float(loss) - ref_loss) < 5e-5, (float(loss), ref_loss)
+
+    got = jax.tree_util.tree_map(lambda a, b: a - b, pp_params, pp_params2)
+    got = unstack_pipeline_params(jax.device_get(got), cfg.num_layers)
+    for ga, gb in zip(jax.tree_util.tree_leaves(ref_grads),
+                      jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_pp_tp_dp_composition():
+    """The full (data=2, pipe=2, model=2) mesh from VERDICT item 9."""
+    cfg = dataclasses.replace(
+        _cfg(2), num_heads=4, num_kv_heads=2, num_experts=4,
+        layer_types=("sliding_attention",) * 2)
+    params = init_params(cfg, jax.random.PRNGKey(11), jnp.float32)
+    mesh = make_mesh({"data": 2, "pipe": 2, "model": 2},
+                     devices=jax.devices()[:8])
+    optimizer = optax.sgd(1e-2)
+    step, shardings = make_pp_train_step(cfg, mesh, optimizer,
+                                         num_microbatches=2)
+    pp_params = jax.device_put(stack_pipeline_params(params, 2), shardings)
+    opt_state = optimizer.init(pp_params)
+    batch = jax.random.randint(jax.random.PRNGKey(12), (4, 17), 0,
+                               cfg.vocab_size)
+    _, _, loss = step(pp_params, opt_state, batch)
+    ref_loss = float(cross_entropy_loss(params, cfg, batch))
+    assert abs(float(loss) - ref_loss) < 5e-5, (float(loss), ref_loss)
+
+
+@pytest.mark.parametrize("stages,micro,virtual", [(2, 2, 2), (2, 4, 2)])
+def test_interleaved_schedule_matches_reference(stages, micro, virtual):
+    """num_virtual > 1 (Megatron interleaved schedule, V-times smaller
+    bubble) must stay exact: loss and grads match single-device."""
+    cfg = dataclasses.replace(
+        _cfg(stages * virtual),
+        layer_types=("sliding_attention",) * (stages * virtual))
+    params = init_params(cfg, jax.random.PRNGKey(13), jnp.float32)
+    batch = jax.random.randint(jax.random.PRNGKey(14), (micro * 2, 17), 0,
+                               cfg.vocab_size)
+    ref_loss = float(cross_entropy_loss(params, cfg, batch))
+    ref_grads = jax.grad(cross_entropy_loss)(params, cfg, batch)
+
+    mesh = make_mesh({"pipe": stages}, devices=jax.devices()[:stages])
+    optimizer = optax.sgd(1.0)
+    step, shardings = make_pp_train_step(cfg, mesh, optimizer,
+                                         num_microbatches=micro,
+                                         num_virtual=virtual)
+    pp_params = jax.device_put(
+        stack_pipeline_params(params, stages, num_virtual=virtual),
+        shardings)
+    opt_state = optimizer.init(pp_params)
+    pp_params2, _, loss = step(pp_params, opt_state, batch)
+    assert abs(float(loss) - ref_loss) < 5e-5, (float(loss), ref_loss)
+
+    got = jax.tree_util.tree_map(lambda a, b: a - b, pp_params, pp_params2)
+    got = unstack_pipeline_params(jax.device_get(got), cfg.num_layers)
+    for ga, gb in zip(jax.tree_util.tree_leaves(ref_grads),
+                      jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   atol=2e-4, rtol=1e-3)
