@@ -30,7 +30,18 @@ class ModelConfig:
     rope_scaling: Optional[dict] = None  # e.g. {"rope_type": "yarn", ...}
     rms_norm_eps: float = 1e-5
     attention_bias: bool = True
+    # o_proj bias, when it differs from the qkv bias (Qwen2 has qkv biases
+    # but NO o bias); None means "same as attention_bias" (gpt-oss: all 4).
+    attention_out_bias: Optional[bool] = None
     max_position_embeddings: int = 131072
+    # MLP family: "moe" (gpt-oss expert mixture) or "dense" (Qwen/Llama
+    # gated-SiLU gate/up/down). num_experts/experts_per_tok are ignored
+    # for "dense".
+    mlp_type: str = "moe"
+    # Learnable per-Q-head sink logit (the gpt-oss s_aux mechanism).
+    # Dense-family models (Qwen/Llama) have none — their streaming-
+    # inference "sinks" are the num_sink_tokens cache-eviction kind.
+    use_s_aux: bool = True
     # Cache-eviction sinks (StreamingLLM-style leading tokens). gpt-oss uses
     # 0 (its "sink" is the learnable s_aux logit); the reference kernel's
     # num_sink>0 mode is fully supported for streaming inference.
@@ -97,17 +108,100 @@ class ModelConfig:
         return cls(**defaults)
 
     @classmethod
+    def qwen2_tiny(cls, **kw) -> "ModelConfig":
+        """Test-size dense-family (Qwen2-style) config."""
+        defaults = dict(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=16, intermediate_size=96,
+            sliding_window=2048, rope_theta=10000.0, rms_norm_eps=1e-6,
+            layer_types=("full_attention",) * 2,
+            mlp_type="dense", use_s_aux=False,
+            attention_bias=True, attention_out_bias=False,
+            max_position_embeddings=2048)
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def qwen2_5_7b(cls, **kw) -> "ModelConfig":
+        """Qwen2.5-7B-Instruct geometry (dense family flagship). Full
+        attention everywhere; streaming inference uses num_sink_tokens>0
+        StreamingLLM-style caches (make_caches(streaming=True))."""
+        defaults = dict(
+            vocab_size=152064, hidden_size=3584, num_layers=28,
+            num_heads=28, num_kv_heads=4, head_dim=128,
+            intermediate_size=18944, sliding_window=131072,
+            layer_types=("full_attention",) * 28,
+            rope_theta=1000000.0, rms_norm_eps=1e-6,
+            mlp_type="dense", use_s_aux=False,
+            attention_bias=True, attention_out_bias=False,
+            max_position_embeddings=131072)
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
     def from_hf_config(cls, hf_cfg: Any) -> "ModelConfig":
-        """Build from a transformers GptOssConfig (object or dict)."""
+        """Build from a transformers config (object or dict).
+
+        Supports GptOssConfig (MoE + s_aux sinks) and the dense
+        Qwen2/Llama families (model_type 'qwen2'/'llama'/'mistral':
+        gated-SiLU MLP, no s_aux, full attention unless the config opts
+        into sliding windows)."""
         get = (hf_cfg.get if isinstance(hf_cfg, dict)
                else lambda k, d=None: getattr(hf_cfg, k, d))
+        model_type = get("model_type", "gpt_oss")
+        n_layers = get("num_hidden_layers")
+        n_heads = get("num_attention_heads")
+        head_dim = get("head_dim") or get("hidden_size") // n_heads
+        if model_type in ("qwen2", "llama", "mistral"):
+            sliding = get("sliding_window")
+            max_pos = get("max_position_embeddings")
+            qkv_bias = get("attention_bias", model_type == "qwen2")
+            # Sliding-window conventions differ per family:
+            #  * mistral: sliding_window != None => ALL layers sliding
+            #    (modeling_mistral applies it unconditionally; v0.3+
+            #    checkpoints set it to null)
+            #  * qwen2: only if use_sliding_window, and only for layers
+            #    with index >= max_window_layers (the leading layers stay
+            #    full attention)
+            #  * llama: never
+            if model_type == "mistral":
+                per_layer = [bool(sliding)] * n_layers
+            elif model_type == "qwen2" and bool(
+                    get("use_sliding_window", False) and sliding):
+                mwl = get("max_window_layers", 0) or 0
+                per_layer = [i >= mwl for i in range(n_layers)]
+            else:
+                per_layer = [False] * n_layers
+            use_sliding = any(per_layer)
+            return cls(
+                vocab_size=get("vocab_size"),
+                hidden_size=get("hidden_size"),
+                num_layers=n_layers,
+                num_heads=n_heads,
+                num_kv_heads=get("num_key_value_heads", n_heads),
+                head_dim=head_dim,
+                intermediate_size=get("intermediate_size"),
+                sliding_window=(sliding if use_sliding else max_pos),
+                layer_types=tuple(
+                    get("layer_types")
+                    or ("sliding_attention" if s else "full_attention"
+                        for s in per_layer)),
+                rope_theta=get("rope_theta", 10000.0),
+                rope_scaling=get("rope_scaling"),
+                rms_norm_eps=get("rms_norm_eps", 1e-6),
+                attention_bias=qkv_bias,
+                # Qwen2 has qkv biases but no o bias; Llama has neither
+                attention_out_bias=False if qkv_bias else None,
+                max_position_embeddings=max_pos,
+                mlp_type="dense", use_s_aux=False,
+            )
         return cls(
             vocab_size=get("vocab_size"),
             hidden_size=get("hidden_size"),
-            num_layers=get("num_hidden_layers"),
-            num_heads=get("num_attention_heads"),
+            num_layers=n_layers,
+            num_heads=n_heads,
             num_kv_heads=get("num_key_value_heads"),
-            head_dim=get("head_dim"),
+            head_dim=head_dim,
             intermediate_size=get("intermediate_size"),
             num_experts=get("num_local_experts"),
             experts_per_tok=get("num_experts_per_tok"),

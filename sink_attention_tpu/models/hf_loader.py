@@ -128,30 +128,50 @@ def params_from_hf_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             w = _np(sd[name]).astype(np.float32)
         return _maybe_q(w, contract_axis=-2, allow_int4=True)
 
+    def zeros(shape):
+        return jnp.zeros(shape, dtype)
+
+    o_bias = (cfg.attention_bias if cfg.attention_out_bias is None
+              else cfg.attention_out_bias)
     layers = []
     for i in range(cfg.num_layers):
         pre = f"model.layers.{i}."
         attn = {
             # HF Linear stores [out, in]; we store [in, out]
             "wq": get_big(pre + "self_attn.q_proj.weight", transpose=True),
-            "bq": get(pre + "self_attn.q_proj.bias"),
             "wk": get_big(pre + "self_attn.k_proj.weight", transpose=True),
-            "bk": get(pre + "self_attn.k_proj.bias"),
             "wv": get_big(pre + "self_attn.v_proj.weight", transpose=True),
-            "bv": get(pre + "self_attn.v_proj.bias"),
             "wo": get_big(pre + "self_attn.o_proj.weight", transpose=True),
-            "bo": get(pre + "self_attn.o_proj.bias"),
-            "sinks": get(pre + "self_attn.sinks"),
         }
-        mlp = {
-            "router_w": get(pre + "mlp.router.weight", transpose=True),
-            "router_b": get(pre + "mlp.router.bias"),
-            # HF experts store [E, in, out] dense / [E, out, ...] MXFP4
-            "gate_up": get_experts(pre + "mlp.experts.gate_up_proj"),
-            "gate_up_b": get(pre + "mlp.experts.gate_up_proj_bias"),
-            "down": get_experts(pre + "mlp.experts.down_proj"),
-            "down_b": get(pre + "mlp.experts.down_proj_bias"),
-        }
+        if cfg.attention_bias:
+            attn["bq"] = get(pre + "self_attn.q_proj.bias")
+            attn["bk"] = get(pre + "self_attn.k_proj.bias")
+            attn["bv"] = get(pre + "self_attn.v_proj.bias")
+        else:
+            attn["bq"] = zeros((cfg.num_heads * cfg.head_dim,))
+            attn["bk"] = zeros((cfg.num_kv_heads * cfg.head_dim,))
+            attn["bv"] = zeros((cfg.num_kv_heads * cfg.head_dim,))
+        attn["bo"] = (get(pre + "self_attn.o_proj.bias") if o_bias
+                      else zeros((cfg.hidden_size,)))
+        if cfg.use_s_aux:
+            attn["sinks"] = get(pre + "self_attn.sinks")
+        if cfg.mlp_type == "dense":
+            # Qwen2/Llama gated-SiLU MLP (no biases)
+            mlp = {
+                "gate": get_big(pre + "mlp.gate_proj.weight", transpose=True),
+                "up": get_big(pre + "mlp.up_proj.weight", transpose=True),
+                "down": get_big(pre + "mlp.down_proj.weight", transpose=True),
+            }
+        else:
+            mlp = {
+                "router_w": get(pre + "mlp.router.weight", transpose=True),
+                "router_b": get(pre + "mlp.router.bias"),
+                # HF experts store [E, in, out] dense / [E, out, ...] MXFP4
+                "gate_up": get_experts(pre + "mlp.experts.gate_up_proj"),
+                "gate_up_b": get(pre + "mlp.experts.gate_up_proj_bias"),
+                "down": get_experts(pre + "mlp.experts.down_proj"),
+                "down_b": get(pre + "mlp.experts.down_proj_bias"),
+            }
         layers.append({
             "attn": attn,
             "mlp": mlp,

@@ -124,19 +124,27 @@ def init_params(cfg: ModelConfig, key: jax.Array,
 
     layers = []
     for _ in range(cfg.num_layers):
-        layers.append({
-            "attn": {
-                "wq": w((H, HQ * D)), "bq": zeros((HQ * D,)),
-                "wk": w((H, HKV * D)), "bk": zeros((HKV * D,)),
-                "wv": w((H, HKV * D)), "bv": zeros((HKV * D,)),
-                "wo": w((HQ * D, H)), "bo": zeros((H,)),
-                "sinks": w((HQ,), scale=1.0),
-            },
-            "mlp": {
+        attn = {
+            "wq": w((H, HQ * D)), "bq": zeros((HQ * D,)),
+            "wk": w((H, HKV * D)), "bk": zeros((HKV * D,)),
+            "wv": w((H, HKV * D)), "bv": zeros((HKV * D,)),
+            "wo": w((HQ * D, H)), "bo": zeros((H,)),
+        }
+        if cfg.use_s_aux:
+            attn["sinks"] = w((HQ,), scale=1.0)
+        if cfg.mlp_type == "dense":
+            mlp = {
+                "gate": w((H, I)), "up": w((H, I)), "down": w((I, H)),
+            }
+        else:
+            mlp = {
                 "router_w": w((H, E)), "router_b": zeros((E,)),
                 "gate_up": w((E, H, 2 * I)), "gate_up_b": zeros((E, 2 * I)),
                 "down": w((E, I, H)), "down_b": zeros((E, H)),
-            },
+            }
+        layers.append({
+            "attn": attn,
+            "mlp": mlp,
             "ln1": jnp.ones((H,), dtype),
             "ln2": jnp.ones((H,), dtype),
         })
@@ -245,9 +253,21 @@ def _out_proj(p: dict, cfg: ModelConfig, attn: jax.Array) -> jax.Array:
     B, HQ, N, D = attn.shape
     y = attn.transpose(0, 2, 1, 3).reshape(B, N, HQ * D)
     y = _mm(y, p["wo"])
-    if cfg.attention_bias:
+    o_bias = (cfg.attention_bias if cfg.attention_out_bias is None
+              else cfg.attention_out_bias)
+    if o_bias:
         y = y + p["bo"].astype(y.dtype)
     return y
+
+
+def _s_aux(lp: dict, cfg: ModelConfig):
+    """Per-head learnable sink logits, or None for dense-family models
+    (Qwen/Llama — no s_aux mechanism; their streaming 'sinks' are the
+    num_sink_tokens cache-eviction kind, which the kernels handle via
+    num_sink)."""
+    if not cfg.use_s_aux:
+        return None
+    return lp["attn"]["sinks"].astype(jnp.float32)
 
 
 def _glu_act(gate_up: jax.Array) -> jax.Array:
@@ -301,6 +321,25 @@ def _moe_grouped(p: dict, cfg: ModelConfig, xt: jax.Array,
 
     out, _ = jax.lax.scan(step, jnp.zeros((T, H), jnp.float32), ids)
     return out
+
+
+def dense_mlp(p: dict, x: jax.Array) -> jax.Array:
+    """Gated-SiLU MLP (Qwen/Llama family): down(silu(gate(x)) * up(x)).
+
+    No biases (HF Qwen2MLP / LlamaMLP have none). Params: ``gate`` [H, I],
+    ``up`` [H, I], ``down`` [I, H] — plain, int8, or packed-int4 forms via
+    ``_mm``."""
+    g = _mm(x, p["gate"])
+    u = _mm(x, p["up"])
+    return _mm(jax.nn.silu(g) * u, p["down"])
+
+
+def mlp_block(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """The per-layer MLP: MoE (gpt-oss) or dense gated-SiLU (Qwen/Llama),
+    selected by ``cfg.mlp_type``."""
+    if cfg.mlp_type == "dense":
+        return dense_mlp(p, x)
+    return moe(p, cfg, x)
 
 
 def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
@@ -373,10 +412,10 @@ def decoder_layer(lp: dict, cfg: ModelConfig, x: jax.Array, cos, sin,
     k = apply_rope(k, cos, sin)
     attn = attn_impl(
         q, k, v, num_sink=cfg.num_sink_tokens, window_size=window,
-        s_aux=lp["attn"]["sinks"].astype(jnp.float32))
+        s_aux=_s_aux(lp, cfg))
     x = x + _out_proj(lp["attn"], cfg, attn)
     h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    return x + moe(lp["mlp"], cfg, h)
+    return x + mlp_block(lp["mlp"], cfg, h)
 
 
 def forward_prefill(
@@ -418,14 +457,14 @@ def forward_prefill(
         window = cfg.window_for_layer(li, N)
         attn = attn_impl(
             q, k, v, num_sink=cfg.num_sink_tokens, window_size=window,
-            s_aux=lp["attn"]["sinks"].astype(jnp.float32))
+            s_aux=_s_aux(lp, cfg))
         x = x + _out_proj(lp["attn"], cfg, attn)
         if caches is not None:
             new_caches.append(caches[li].prefill(k, v))
         if collect_kv:
             kvs.append((k, v))
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + moe(lp["mlp"], cfg, h)
+        x = x + mlp_block(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _mm(x, params["lm_head"])
@@ -464,11 +503,11 @@ def forward_decode(
         k = apply_rope(k, cos, sin)
         cache = caches[li].append(k, v)
         attn = attn_impl(
-            q, cache, s_aux=lp["attn"]["sinks"].astype(jnp.float32))
+            q, cache, s_aux=_s_aux(lp, cfg))
         new_caches.append(cache)
         x = x + _out_proj(lp["attn"], cfg, attn)
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + moe(lp["mlp"], cfg, h)
+        x = x + mlp_block(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _mm(x, params["lm_head"])
@@ -506,12 +545,12 @@ def forward_decode_ragged(
         k = apply_rope(k, cos, sin)
         cache = caches[li].append(k, v, active)
         attn = sink_decode_attention_ragged(
-            q, cache, s_aux=lp["attn"]["sinks"].astype(jnp.float32),
+            q, cache, s_aux=_s_aux(lp, cfg),
             interpret=interpret)
         new_caches.append(cache)
         x = x + _out_proj(lp["attn"], cfg, attn)
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + moe(lp["mlp"], cfg, h)
+        x = x + mlp_block(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _mm(x, params["lm_head"])

@@ -84,13 +84,17 @@ def quantize_params(params: dict, cfg=None,
     the returned tree.
     """
     qw = lambda w, **kw: quantize_weight(w, scale_dtype=compute_dtype, **kw)
+    # MoE layers quantize gate_up/down [E, in, out]; dense (Qwen/Llama)
+    # layers quantize gate/up/down [in, out] — detected per layer by key.
+    mlp_big = lambda mlp: (("gate", "up", "down") if "gate" in mlp
+                           else ("gate_up", "down"))
     if inplace:
         params["embed"] = _quantize_rowwise(params["embed"], compute_dtype)
         for lp in params["layers"]:
             for name in ("wq", "wk", "wv", "wo"):
                 lp["attn"][name] = qw(lp["attn"][name])
-            lp["mlp"]["gate_up"] = qw(lp["mlp"]["gate_up"])
-            lp["mlp"]["down"] = qw(lp["mlp"]["down"])
+            for name in mlp_big(lp["mlp"]):
+                lp["mlp"][name] = qw(lp["mlp"][name])
         params["lm_head"] = qw(params["lm_head"])
         return params
     out = {
@@ -104,8 +108,8 @@ def quantize_params(params: dict, cfg=None,
         for name in ("wq", "wk", "wv", "wo"):
             attn[name] = qw(attn[name])
         mlp = dict(lp["mlp"])
-        mlp["gate_up"] = qw(mlp["gate_up"])  # [E, H, 2I]
-        mlp["down"] = qw(mlp["down"])        # [E, I, H]
+        for name in mlp_big(mlp):
+            mlp[name] = qw(mlp[name])
         out["layers"].append({
             "attn": attn,
             "mlp": mlp,
@@ -170,20 +174,28 @@ def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
 
     layers = []
     for _ in range(cfg.num_layers):
-        layers.append({
-            "attn": {
-                "wq": qw((H, HQ * D)), "bq": zeros((HQ * D,)),
-                "wk": qw((H, HKV * D)), "bk": zeros((HKV * D,)),
-                "wv": qw((H, HKV * D)), "bv": zeros((HKV * D,)),
-                "wo": qw((HQ * D, H)), "bo": zeros((H,)),
-                "sinks": w((HQ,), scale=1.0),
-            },
-            "mlp": {
+        attn = {
+            "wq": qw((H, HQ * D)), "bq": zeros((HQ * D,)),
+            "wk": qw((H, HKV * D)), "bk": zeros((HKV * D,)),
+            "wv": qw((H, HKV * D)), "bv": zeros((HKV * D,)),
+            "wo": qw((HQ * D, H)), "bo": zeros((H,)),
+        }
+        if cfg.use_s_aux:
+            attn["sinks"] = w((HQ,), scale=1.0)
+        if cfg.mlp_type == "dense":
+            mlp = {
+                "gate": qw((H, I)), "up": qw((H, I)), "down": qw((I, H)),
+            }
+        else:
+            mlp = {
                 "router_w": w((H, E)), "router_b": zeros((E,)),
                 "gate_up": qw((E, H, 2 * I)),
                 "gate_up_b": zeros((E, 2 * I)),
                 "down": qw((E, I, H)), "down_b": zeros((E, H)),
-            },
+            }
+        layers.append({
+            "attn": attn,
+            "mlp": mlp,
             "ln1": _jnp.ones((H,), init_dtype),
             "ln2": _jnp.ones((H,), init_dtype),
         })

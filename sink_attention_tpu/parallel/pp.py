@@ -121,19 +121,26 @@ def pipeline_param_shardings(cfg: ModelConfig, mesh: Mesh,
             spec[3 + shard_dim] = m
         return s(*spec)
 
-    stages = {
-        "attn": {
-            "wq": leaf(2, 1), "bq": leaf(1, 0),
-            "wk": leaf(2, 1), "bk": leaf(1, 0),
-            "wv": leaf(2, 1), "bv": leaf(1, 0),
-            "wo": leaf(2, 0), "bo": leaf(1),
-            "sinks": leaf(1, 0),
-        },
-        "mlp": {
+    attn = {
+        "wq": leaf(2, 1), "bq": leaf(1, 0),
+        "wk": leaf(2, 1), "bk": leaf(1, 0),
+        "wv": leaf(2, 1), "bv": leaf(1, 0),
+        "wo": leaf(2, 0), "bo": leaf(1),
+    }
+    if cfg.use_s_aux:
+        attn["sinks"] = leaf(1, 0)
+    if cfg.mlp_type == "dense":
+        # Megatron split: gate/up column-parallel, down row-parallel
+        mlp = {"gate": leaf(2, 1), "up": leaf(2, 1), "down": leaf(2, 0)}
+    else:
+        mlp = {
             "router_w": leaf(2), "router_b": leaf(1),
             "gate_up": leaf(3, 0), "gate_up_b": leaf(2, 0),
             "down": leaf(3, 0), "down_b": leaf(2, 0),
-        },
+        }
+    stages = {
+        "attn": attn,
+        "mlp": mlp,
         "ln1": leaf(1),
         "ln2": leaf(1),
     }

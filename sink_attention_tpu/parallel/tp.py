@@ -91,6 +91,12 @@ def tp_local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
         return cfg
     assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
     assert cfg.num_kv_heads % tp == 0, (cfg.num_kv_heads, tp)
+    if cfg.mlp_type == "dense":
+        assert cfg.intermediate_size % tp == 0, (cfg.intermediate_size, tp)
+        return dataclasses.replace(
+            cfg, num_heads=cfg.num_heads // tp,
+            num_kv_heads=cfg.num_kv_heads // tp,
+            intermediate_size=cfg.intermediate_size // tp)
     assert cfg.num_experts % tp == 0, (cfg.num_experts, tp)
     return dataclasses.replace(
         cfg, num_heads=cfg.num_heads // tp,
@@ -133,16 +139,29 @@ def tp_decoder_layer(lp: dict, cfg_local: ModelConfig, x: jax.Array,
     k = apply_rope(k, cos, sin)
     attn = attn_impl(
         q, k, v, num_sink=cfg_local.num_sink_tokens, window_size=window,
-        s_aux=ap["sinks"].astype(jnp.float32))
+        s_aux=(ap["sinks"].astype(jnp.float32)
+               if cfg_local.use_s_aux else None))
     y = attn.transpose(0, 2, 1, 3).reshape(B, N, -1)
     part = _mm(y, ap["wo"])                       # partial over head shards
     out = tp_region_out(part, axis_name)
-    if cfg_local.attention_bias:
+    o_bias = (cfg_local.attention_bias if cfg_local.attention_out_bias
+              is None else cfg_local.attention_out_bias)
+    if o_bias:
         out = out + ap["bo"].astype(out.dtype)    # bias once, post-psum
     x = x + out
 
-    # --- MoE: expert-sharded region -----------------------------------
     h = rms_norm(x, lp["ln2"], cfg_local.rms_norm_eps)
+    if cfg_local.mlp_type == "dense":
+        # --- dense MLP: Megatron column/row split over intermediate ---
+        # gate/up hold [H, I/tp] columns, down holds [I/tp, H] rows; the
+        # partial down-products psum on exit.
+        h_in = tp_region_in(h, axis_name)
+        act = jax.nn.silu(_mm(h_in, lp["mlp"]["gate"])) * _mm(
+            h_in, lp["mlp"]["up"])
+        out = tp_region_out(_mm(act, lp["mlp"]["down"]), axis_name)
+        return x + out.astype(x.dtype)
+
+    # --- MoE: expert-sharded region -----------------------------------
     xt = h.reshape(B * N, H)
     routing = moe_routing(lp["mlp"], cfg_local, xt)   # [T, E_total]
     # Enter the region BEFORE slicing the local columns: the slice's

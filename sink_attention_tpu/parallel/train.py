@@ -40,19 +40,26 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, model_axis: str = "model"):
     def s(*spec):
         return NamedSharding(mesh, P(*spec))
 
-    layer = {
-        "attn": {
-            "wq": s(None, m), "bq": s(m),
-            "wk": s(None, m), "bk": s(m),
-            "wv": s(None, m), "bv": s(m),
-            "wo": s(m, None), "bo": s(),
-            "sinks": s(m),
-        },
-        "mlp": {
+    attn = {
+        "wq": s(None, m), "bq": s(m),
+        "wk": s(None, m), "bk": s(m),
+        "wv": s(None, m), "bv": s(m),
+        "wo": s(m, None), "bo": s(),
+    }
+    if cfg.use_s_aux:
+        attn["sinks"] = s(m)
+    if cfg.mlp_type == "dense":
+        # Megatron MLP split: gate/up column-parallel, down row-parallel
+        mlp = {"gate": s(None, m), "up": s(None, m), "down": s(m, None)}
+    else:
+        mlp = {
             "router_w": s(), "router_b": s(),
             "gate_up": s(m, None, None), "gate_up_b": s(m, None),
             "down": s(m, None, None), "down_b": s(m, None),
-        },
+        }
+    layer = {
+        "attn": attn,
+        "mlp": mlp,
         "ln1": s(),
         "ln2": s(),
     }

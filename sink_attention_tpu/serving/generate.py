@@ -251,7 +251,8 @@ def _forward_multi(params, cfg, input_ids, caches, start_pos,
     """Target-model forward over T tokens against rolling caches using the
     fused multi-token decode attention; returns (logits [B,T,V], caches)."""
     from ..models.model import (_embed_lookup, _mm, _out_proj, _qkv,
-                                apply_rope, moe, rms_norm, rope_cos_sin)
+                                _s_aux, apply_rope, mlp_block, rms_norm,
+                                rope_cos_sin)
     from ..ops.decode import sink_decode_attention_cached_multi
 
     B, T = input_ids.shape
@@ -266,12 +267,11 @@ def _forward_multi(params, cfg, input_ids, caches, start_pos,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn, cache = sink_decode_attention_cached_multi(
-            q, k, v, caches[li],
-            s_aux=lp["attn"]["sinks"].astype(jnp.float32))
+            q, k, v, caches[li], s_aux=_s_aux(lp, cfg))
         new_caches.append(cache)
         x = x + _out_proj(lp["attn"], cfg, attn)
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + moe(lp["mlp"], cfg, h)
+        x = x + mlp_block(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _mm(x, params["lm_head"])
