@@ -15,7 +15,10 @@ the BASELINE north star's "continuous batching" item:
   launch for the whole pool.
 * Finished slots (EOS or budget) are recycled immediately.
 
-Sampling: greedy by default; temperature / top-k via ``SamplingParams``.
+Sampling: greedy by default; temperature / top-k / top-p via
+``SamplingParams``, per engine or **per request** (``submit(...,
+sampling=...)``) — mixed pools sample all slots in the one jitted decode
+step via per-slot parameter arrays.
 """
 
 from __future__ import annotations
@@ -38,10 +41,49 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def _sample_batch(logits: jax.Array, key, temps, topks, topps,
+                  candidate_k: int) -> jax.Array:
+    """Vectorized per-slot sampling over [B, V] logits.
+
+    Slots with ``temps <= 0`` take the argmax; the rest draw from a
+    temperature-scaled categorical filtered per slot by top-k and/or
+    top-p. Filtering thresholds come from the top ``candidate_k`` logits:
+    top-k is exact for k <= candidate_k (enforced at submit time), and
+    top-p is exact whenever the nucleus fits in the candidates, falling
+    back to unfiltered sampling when it does not (flat distributions with
+    p ≈ 1 — where the filter would barely bite anyway).
+    """
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy = temps <= 0.0
+    scaled = logits.astype(jnp.float32) / jnp.where(greedy, 1.0,
+                                                    temps)[:, None]
+    K = min(candidate_k, scaled.shape[-1])
+    vals, _ = jax.lax.top_k(scaled, K)  # [B, K], descending
+    # exact per-slot top-k threshold (k clipped to K at submit time)
+    k_eff = jnp.where(topks > 0, jnp.minimum(topks, K), K)
+    kth = jnp.take_along_axis(vals, (k_eff - 1)[:, None], axis=1)
+    thresh = jnp.where((topks > 0)[:, None], kth, -jnp.inf)
+    # nucleus threshold from FULL-vocab probabilities of the candidates
+    lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+    cand_p = jnp.exp(vals - lse)
+    cum = jnp.cumsum(cand_p, axis=-1)
+    keep = (cum - cand_p) < topps[:, None]  # first candidate always kept
+    n_keep = jnp.sum(keep, axis=-1, keepdims=True).astype(jnp.int32)
+    pth = jnp.take_along_axis(vals, n_keep - 1, axis=1)
+    contained = cum[:, -1:] >= topps[:, None]  # nucleus fits in candidates
+    thresh = jnp.maximum(
+        thresh, jnp.where((topps[:, None] < 1.0) & contained, pth,
+                          -jnp.inf))
+    masked = jnp.where(scaled >= thresh, scaled, -jnp.inf)
+    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(greedy, greedy_tok, sampled)
+
+
 @dataclass
 class SamplingParams:
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0            # 0 => no top-k filtering
+    top_p: float = 1.0        # 1 => no nucleus filtering
 
 
 @dataclass
@@ -50,6 +92,7 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     eos_id: Optional[int] = None
+    sampling: Optional[SamplingParams] = None  # None => engine default
     tokens: List[int] = field(default_factory=list)  # generated
     done: bool = False
 
@@ -71,6 +114,7 @@ class ContinuousBatchingEngine:
                  eos_id: Optional[int] = None,
                  sampling: Optional[SamplingParams] = None,
                  seed: int = 0, streaming: bool = False,
+                 candidate_k: int = 64,
                  interpret: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
@@ -78,7 +122,15 @@ class ContinuousBatchingEngine:
         self.prefill_bucket = prefill_bucket
         self.eos_id = eos_id
         self.sampling = sampling or SamplingParams()
+        self.candidate_k = candidate_k
         self.interpret = interpret
+        # per-slot sampling state ([B] device arrays fed to the jitted
+        # decode step; a request's own SamplingParams override the engine
+        # default at admission)
+        sp = self.sampling
+        self._temps = jnp.full((max_batch,), sp.temperature, jnp.float32)
+        self._topks = jnp.full((max_batch,), sp.top_k, jnp.int32)
+        self._topps = jnp.full((max_batch,), sp.top_p, jnp.float32)
         self.caches = make_ragged_caches(cfg, max_batch, max_len,
                                          dtype=dtype, quant=quant,
                                          streaming=streaming)
@@ -106,18 +158,27 @@ class ContinuousBatchingEngine:
                                                 keepdims=False)
             return caches, last
 
-        @jax.jit
-        def _decode(params, caches, toks, active, key):
+        ck = candidate_k
+
+        def _sample_step(logits, key, sample_args, use_sampling):
+            if not use_sampling:  # every slot greedy: skip the top_k pass
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return _sample_batch(logits, key, *sample_args, ck)
+
+        @functools.partial(jax.jit, static_argnums=6)
+        def _decode(params, caches, toks, active, key, sample_args,
+                    use_sampling):
             positions = caches[0].seen  # [B] position of the new token
             logits, caches = forward_decode_ragged(
                 params, cfg_, toks[:, None], caches, positions, active,
                 interpret=interp)
-            nxt = self._sample(logits[:, -1], key)
+            nxt = _sample_step(logits[:, -1], key, sample_args,
+                               use_sampling)
             return caches, jnp.where(active, nxt, toks)
 
-        @functools.partial(jax.jit, static_argnums=5)
+        @functools.partial(jax.jit, static_argnums=(5, 9))
         def _decode_chunk(params, caches, toks, active, key, n, eos_ids,
-                          budgets):
+                          budgets, sample_args, use_sampling):
             """n decode steps in one lax.scan — one host round-trip for n
             tokens per slot (host sync dominates per-step serving cost).
 
@@ -135,7 +196,8 @@ class ContinuousBatchingEngine:
                 logits, caches = forward_decode_ragged(
                     params, cfg_, toks[:, None], caches, positions, act,
                     interpret=interp)
-                nxt = self._sample(logits[:, -1], k)
+                nxt = _sample_step(logits[:, -1], k, sample_args,
+                                   use_sampling)
                 nxt = jnp.where(act, nxt, toks)
                 emitted = emitted + act.astype(jnp.int32)
                 hit_eos = (eos_ids >= 0) & (nxt == eos_ids)
@@ -153,26 +215,39 @@ class ContinuousBatchingEngine:
 
     # -- sampling -----------------------------------------------------------
 
-    def _sample(self, logits: jax.Array, key) -> jax.Array:
-        """logits: [B, V] (or [V]) -> token ids."""
-        sp = self.sampling
-        if sp.temperature <= 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        logits = logits / sp.temperature
-        if sp.top_k > 0:
-            kth = jax.lax.top_k(logits, sp.top_k)[0][..., -1:]
-            logits = jnp.where(logits < kth, -jnp.inf, logits)
-        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    def _req_sampling(self, req: Request) -> SamplingParams:
+        return req.sampling if req.sampling is not None else self.sampling
+
+    def _use_sampling(self) -> bool:
+        """True if any active slot needs non-greedy sampling (static jit
+        flag: an all-greedy pool skips the per-step top_k pass entirely)."""
+        return any(self._req_sampling(r).temperature > 0.0
+                   for r in self._slots if r is not None)
+
+    def _sample_one(self, logits_row: jax.Array, key,
+                    sp: SamplingParams) -> int:
+        """Host-side single-row sample (first token after a prefill)."""
+        tok = _sample_batch(
+            logits_row[None, :], key,
+            jnp.asarray([sp.temperature], jnp.float32),
+            jnp.asarray([sp.top_k], jnp.int32),
+            jnp.asarray([sp.top_p], jnp.float32), self.candidate_k)
+        return int(tok[0])
 
     # -- public API -----------------------------------------------------------
 
     def submit(self, prompt: List[int], max_new_tokens: int = 64,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               sampling: Optional[SamplingParams] = None) -> int:
+        if sampling is not None and sampling.top_k > self.candidate_k:
+            raise ValueError(
+                f"top_k={sampling.top_k} exceeds the engine's candidate_k="
+                f"{self.candidate_k}; raise candidate_k at construction")
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(Request(rid, list(prompt), max_new_tokens,
                                    eos_id if eos_id is not None
-                                   else self.eos_id))
+                                   else self.eos_id, sampling=sampling))
         return rid
 
     @property
@@ -192,8 +267,12 @@ class ContinuousBatchingEngine:
             self.caches, last_logits = self._prefill_fn(
                 self.params, self.caches, ids, jnp.int32(n),
                 jnp.int32(slot))
+            sp = self._req_sampling(req)
+            self._temps = self._temps.at[slot].set(sp.temperature)
+            self._topks = self._topks.at[slot].set(sp.top_k)
+            self._topps = self._topps.at[slot].set(sp.top_p)
             self.key, sub = jax.random.split(self.key)
-            first = int(self._sample(last_logits, sub))
+            first = self._sample_one(last_logits, sub, sp)
             self.toks = self.toks.at[slot].set(first)
             req.tokens.append(first)
             self._slots[slot] = req
@@ -222,7 +301,8 @@ class ContinuousBatchingEngine:
         active = jnp.asarray(active_py)
         self.key, sub = jax.random.split(self.key)
         self.caches, self.toks = self._decode_fn(
-            self.params, self.caches, self.toks, active, sub)
+            self.params, self.caches, self.toks, active, sub,
+            (self._temps, self._topks, self._topps), self._use_sampling())
         toks_host = jax.device_get(self.toks)
         out = {}
         for slot, is_active in enumerate(active_py):
@@ -260,7 +340,8 @@ class ContinuousBatchingEngine:
         self.key, sub = jax.random.split(self.key)
         self.caches, self.toks, seq = self._decode_chunk_fn(
             self.params, self.caches, self.toks, active, sub, n, eos_ids,
-            budgets)
+            budgets, (self._temps, self._topks, self._topps),
+            self._use_sampling())
         seq_host = jax.device_get(seq)  # [B, n]
         out: Dict[int, List[int]] = {}
         for slot, is_active in enumerate(active_py):

@@ -243,3 +243,69 @@ def test_prompt_longer_than_window():
     out = eng.run()
     assert len(out[rid]) == 4
     assert all(0 <= t < 64 for t in out[rid])
+
+
+def test_engine_per_request_sampling():
+    """Mixed pool: one greedy request, one top_k=1 (must equal greedy even
+    at high temperature), one genuinely stochastic — all served in the same
+    jitted decode step via per-slot sampling params."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import (ContinuousBatchingEngine,
+                                            SamplingParams, greedy_generate)
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+
+    prompts = [[5, 9, 2], [7, 1, 30, 11], [3] * 6]
+    new_tokens = 8
+    expected = {}
+    for i, p in enumerate(prompts[:2]):
+        ids = jnp.asarray(p, jnp.int32)[None]
+        toks = greedy_generate(params, cfg, ids, new_tokens,
+                               dtype=jnp.float32)
+        expected[i] = [int(t) for t in np.asarray(toks[0])]
+
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=3, max_len=64,
+                                   prefill_bucket=16, dtype=jnp.float32)
+    r0 = eng.submit(prompts[0], max_new_tokens=new_tokens)  # engine greedy
+    r1 = eng.submit(prompts[1], max_new_tokens=new_tokens,
+                    sampling=SamplingParams(temperature=5.0, top_k=1))
+    r2 = eng.submit(prompts[2], max_new_tokens=new_tokens,
+                    sampling=SamplingParams(temperature=1.0, top_p=0.9))
+    res = eng.run()
+    assert res[r0] == expected[0]
+    assert res[r1] == expected[1]  # top_k=1 == greedy at any temperature
+    assert len(res[r2]) == new_tokens
+    assert all(0 <= t < cfg.vocab_size for t in res[r2])
+
+
+def test_engine_top_k_restricts_support():
+    """With top_k=2 every sampled token must be among the two highest
+    logits of its step; verified by replaying the greedy path's logits."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import (ContinuousBatchingEngine,
+                                            SamplingParams)
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=32, num_layers=1)
+    params = init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=1, max_len=64,
+                                   prefill_bucket=16, dtype=jnp.float32,
+                                   seed=7)
+    rid = eng.submit([4, 9, 11], max_new_tokens=12,
+                     sampling=SamplingParams(temperature=1.0, top_k=2))
+    toks = eng.run()[rid]
+    assert len(toks) == 12
+
+    # replay: feed the engine's own sampled prefix, check each next token
+    # was in that step's top-2
+    from sink_attention_tpu.models import forward_prefill
+    seq = [4, 9, 11] + toks
+    for t in range(len(toks)):
+        ids = jnp.asarray(seq[:3 + t], jnp.int32)[None]
+        logits, _ = forward_prefill(params, cfg, ids)
+        top2 = set(np.argsort(np.asarray(logits[0, -1]))[-2:].tolist())
+        assert toks[t] in top2, (t, toks[t], top2)
