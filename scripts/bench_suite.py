@@ -82,6 +82,70 @@ def train_table():
         print(f"{N:>7} {dt*1e3:>8.2f} {REF_TRAIN.get(N, '-'):>12}")
 
 
+def baseline_table():
+    """Same-silicon strong baseline: stock JAX Pallas attention kernels
+    (splash attention — the production MaxText kernel — and the legacy
+    pallas flash kernel), full-causal, vs our sink+window kernel on the
+    SAME chip. The TPU analog of the reference's FA2-crossover table
+    (/root/reference/README.md:227-244): full causal does O(N^2) work,
+    sink+window O(N*(sink+W)), so ours pulls ahead once N >> W.
+
+    Both baselines lack sink support entirely (that is the point of this
+    package); KV is expanded to H_q heads for them (splash MHA wants
+    matched heads — the reference did the same for torch SDPA)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as mask_lib,
+    )
+
+    print("\n=== Same-silicon baseline: full-causal stock kernels vs "
+          "sink+window (bf16, GQA 32/8 -> MHA-expanded, D=128) ===")
+    print(f"{'N':>7} {'ours ms':>9} {'splash ms':>10} {'speedup':>8} "
+          f"{'ours+bwd':>9} {'splash+bwd':>11} {'speedup':>8}")
+    RESULTS["baseline"] = []
+    scale = 1.0 / (D ** 0.5)
+    for N in [4096, 8192, 16384, 32768]:
+        q, k, v = qkv(N)
+        rep = HQ // HKV
+        k_e = jnp.repeat(k, rep, axis=1)
+        v_e = jnp.repeat(v, rep, axis=1)
+
+        mask = mask_lib.MultiHeadMask(
+            [mask_lib.CausalMask((N, N)) for _ in range(HQ)])
+        splash = sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1)
+
+        # operands via *consts (closure constants hang remote compile)
+        def splash_fwd(q, ke, ve):
+            return jax.vmap(splash)(q * scale, ke, ve)
+
+        def ours_fwd(q, k, v):
+            return sink_flash_attention(q, k, v, NS, W)
+
+        def bwd(fwd):
+            def step(q, *kv):
+                def loss(q):
+                    return jnp.sum(fwd(q, *kv).astype(jnp.float32) ** 2)
+                return jax.grad(loss)(q).astype(q.dtype)
+            return step
+
+        t_ours = time_chained(ours_fwd, q, k, v)
+        t_splash = time_chained(splash_fwd, q, k_e, v_e)
+        t_ours_b = time_chained(bwd(ours_fwd), q, k, v,
+                                iters_lo=2, iters_hi=8)
+        t_splash_b = time_chained(bwd(splash_fwd), q, k_e, v_e,
+                                  iters_lo=2, iters_hi=8)
+        RESULTS["baseline"].append(
+            {"N": N, "ours_fwd_ms": t_ours * 1e3,
+             "splash_fwd_ms": t_splash * 1e3,
+             "ours_fwdbwd_ms": t_ours_b * 1e3,
+             "splash_fwdbwd_ms": t_splash_b * 1e3})
+        print(f"{N:>7} {t_ours*1e3:>9.2f} {t_splash*1e3:>10.2f} "
+              f"{t_splash/t_ours:>7.2f}x {t_ours_b*1e3:>9.2f} "
+              f"{t_splash_b*1e3:>11.2f} {t_splash_b/t_ours_b:>7.2f}x")
+        del q, k, v, k_e, v_e
+        gc.collect()
+
+
 def decode_table():
     print("\n=== Decode step: cache append + attention (B=1, GQA 32/8, "
           "D=128) ===")
@@ -166,7 +230,7 @@ def engine_table():
     qparams = quantize_params(params, inplace=True)
     del params
     gc.collect()
-    for max_batch in (1, 8):
+    for max_batch in (1, 8, 16, 32, 64):
         eng = ContinuousBatchingEngine(
             qparams, cfg, max_batch=max_batch, max_len=4096,
             prefill_bucket=64, dtype=jnp.bfloat16)
@@ -200,14 +264,27 @@ if __name__ == "__main__":
                     help="write results to this JSON file")
     ap.add_argument("--engine", action="store_true",
                     help="also run the serving-throughput section (slow)")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated subset of tables to run "
+                         "(prefill,train,baseline,decode,engine)")
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     RESULTS["device"] = jax.devices()[0].device_kind
     RESULTS["engine"] = []
-    prefill_table()
-    train_table()
-    decode_table()
-    if args.engine:
+    only = args.only.split(",") if args.only else None
+
+    def want(name):
+        return only is None or name in only
+
+    if want("prefill"):
+        prefill_table()
+    if want("train"):
+        train_table()
+    if want("baseline"):
+        baseline_table()
+    if want("decode"):
+        decode_table()
+    if (args.engine and only is None) or (only and "engine" in only):
         engine_table()
     if args.json:
         with open(args.json, "w") as f:

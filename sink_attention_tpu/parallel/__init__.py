@@ -9,7 +9,8 @@ from .sp import (
 from .ulysses import (ulysses_sink_flash_attention,
                       ulysses_sink_flash_attention_packed,
                       slice_s_aux_for_rank)
-from .ring import ring_sink_flash_attention
+from .ring import (ring_sink_flash_attention,
+                   sharded_sink_flash_attention)
 from .pp import (
     stack_pipeline_params,
     unstack_pipeline_params,
@@ -34,6 +35,7 @@ __all__ = [
     "ulysses_sink_flash_attention_packed",
     "slice_s_aux_for_rank",
     "ring_sink_flash_attention",
+    "sharded_sink_flash_attention",
     "stack_pipeline_params",
     "unstack_pipeline_params",
     "pipeline_forward",

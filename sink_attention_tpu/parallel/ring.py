@@ -24,9 +24,40 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import merge_partials, sink_flash_attention_chunk
-from .sp import broadcast_sink_kv
+from .sp import broadcast_sink_kv, sp_sink_flash_attention
 
-__all__ = ["ring_sink_flash_attention", "ring_num_steps"]
+__all__ = ["ring_sink_flash_attention", "ring_num_steps",
+           "sharded_sink_flash_attention"]
+
+
+def sharded_sink_flash_attention(q_local, k_local, v_local,
+                                 num_sink: int = 4, window_size: int = 512,
+                                 s_aux=None, axis_name: str = "seq",
+                                 interpret: Optional[bool] = None):
+    """Sequence-sharded sink attention with automatic schedule choice.
+
+    One entry point for both SP regimes (shard shapes are static, so the
+    choice is made at trace time, free at runtime):
+
+    * ``window_size - 1 <= n_local`` — **halo SP**: a single ``ppermute``
+      hop moves only the (window-1)-sized halo; cheapest ICI traffic.
+    * wider windows — **ring skip-ahead**: rotate whole chunks
+      ``ceil((window-1)/chunk) + 1`` times. Handles window >> shard size,
+      which one-hop halo SP cannot represent.
+
+    Replaces the reference's single SP wrapper (sp_utils.py:151-180),
+    which silently loses cross-chunk window context in both regimes.
+    """
+    n_local = k_local.shape[2]
+    if window_size - 1 <= n_local:
+        return sp_sink_flash_attention(
+            q_local, k_local, v_local, num_sink=num_sink,
+            window_size=window_size, s_aux=s_aux, axis_name=axis_name,
+            interpret=interpret)
+    return ring_sink_flash_attention(
+        q_local, k_local, v_local, num_sink=num_sink,
+        window_size=window_size, s_aux=s_aux, axis_name=axis_name,
+        interpret=interpret)
 
 
 def ring_num_steps(n_dev: int, n_local: int, window_size: int) -> int:

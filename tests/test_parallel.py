@@ -371,3 +371,29 @@ def test_ring_skip_ahead_gradients():
     for a, b in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
                                    rtol=1e-2)
+
+
+@pytest.mark.parametrize("window", [128, 640])  # halo regime / ring regime
+def test_sharded_dispatcher_matches_single_device(window):
+    """sharded_sink_flash_attention picks halo SP when the window fits in
+    one shard (window-1 <= n_local = 256) and ring skip-ahead otherwise;
+    both must equal the single-device oracle."""
+    from sink_attention_tpu.parallel import sharded_sink_flash_attention
+
+    n_dev = 4
+    mesh = seq_mesh(n_dev)
+    B, H_q, H_kv, N, D = 1, 4, 2, 1024, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(7), B, H_q, H_kv, N, D)
+    s_aux = jax.random.normal(jax.random.PRNGKey(8), (H_q,))
+
+    out = jax.jit(jax.shard_map(
+        lambda q, k, v: sharded_sink_flash_attention(
+            q, k, v, num_sink=4, window_size=window, s_aux=s_aux,
+            axis_name="seq"),
+        mesh=mesh, in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False))(q, k, v)
+
+    ref = eager_sink_attention(q, k, v, num_sink=4, window_size=window,
+                               s_aux=s_aux)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-3)
