@@ -12,8 +12,16 @@ The reference delegates all training parallelism to verl/FSDP
   ('data', 'model', 'seq'): heads are TP-local, the sequence axis is
   resharded head<->seq by Ulysses all_to_alls inside the island
   (parallel/ulysses.py), so the Pallas kernel always sees full sequences.
+* **FSDP/ZeRO** — ``fsdp=True`` additionally shards every large weight's
+  non-TP dimension over the 'data' axis. XLA all-gathers each layer's
+  weights just-in-time at its use site and reduce-scatters its gradients
+  (the ZeRO-3 schedule), and the optimizer state inherits the param
+  shardings, so per-device optimizer memory drops by the DP degree — the
+  TPU-native equivalent of the torch FSDP the reference delegates to
+  (SURVEY.md §2.3 row 1).
 
-Pipeline parallelism is not implemented yet (tracked for a later round).
+Pipeline parallelism lives in ``parallel/pp.py`` (interleaved schedule,
+TP/EP inside the pipeline island via ``parallel/tp.py``).
 """
 
 from __future__ import annotations
@@ -33,29 +41,52 @@ __all__ = ["param_shardings", "make_sharded_attn", "make_train_step",
            "cross_entropy_loss", "cross_entropy_loss_packed"]
 
 
-def param_shardings(cfg: ModelConfig, mesh: Mesh, model_axis: str = "model"):
-    """NamedSharding pytree for the model parameters (TP/EP layout)."""
+def param_shardings(cfg: ModelConfig, mesh: Mesh, model_axis: str = "model",
+                    fsdp_axis: Optional[str] = None):
+    """NamedSharding pytree for the model parameters.
+
+    TP/EP layout over ``model_axis``; with ``fsdp_axis`` set (usually
+    'data'), every large weight's non-TP dimension is additionally sharded
+    over that axis — FSDP/ZeRO-3: XLA all-gathers weights at their use
+    sites, reduce-scatters their grads, and the optimizer state (which
+    mirrors the param shardings) is partitioned over DP. Dimensions not
+    divisible by the axis size fall back to unsharded (FSDP is a memory
+    layout, not a semantics change — any subset may stay replicated).
+    """
     m = model_axis
+    f = fsdp_axis
+    f_size = mesh.shape[fsdp_axis] if fsdp_axis else 1
 
     def s(*spec):
         return NamedSharding(mesh, P(*spec))
 
+    def sf(shape, spec):
+        """Like ``s`` but replaces the ``f`` entry with None when that
+        dimension is not divisible by the fsdp axis size."""
+        spec = tuple(None if (ax is f and d % f_size != 0) else ax
+                     for ax, d in zip(spec, shape))
+        return s(*spec)
+
+    H, HQ, HKV = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads
+    D, I, E = cfg.head_dim, cfg.intermediate_size, cfg.num_experts
     attn = {
-        "wq": s(None, m), "bq": s(m),
-        "wk": s(None, m), "bk": s(m),
-        "wv": s(None, m), "bv": s(m),
-        "wo": s(m, None), "bo": s(),
+        "wq": sf((H, HQ * D), (f, m)), "bq": s(m),
+        "wk": sf((H, HKV * D), (f, m)), "bk": s(m),
+        "wv": sf((H, HKV * D), (f, m)), "bv": s(m),
+        "wo": sf((HQ * D, H), (m, f)), "bo": s(),
     }
     if cfg.use_s_aux:
         attn["sinks"] = s(m)
     if cfg.mlp_type == "dense":
         # Megatron MLP split: gate/up column-parallel, down row-parallel
-        mlp = {"gate": s(None, m), "up": s(None, m), "down": s(m, None)}
+        mlp = {"gate": sf((H, I), (f, m)), "up": sf((H, I), (f, m)),
+               "down": sf((I, H), (m, f))}
     else:
         mlp = {
             "router_w": s(), "router_b": s(),
-            "gate_up": s(m, None, None), "gate_up_b": s(m, None),
-            "down": s(m, None, None), "down_b": s(m, None),
+            "gate_up": sf((E, H, 2 * I), (m, f, None)),
+            "gate_up_b": s(m, None),
+            "down": sf((E, I, H), (m, f, None)), "down_b": s(m, None),
         }
     layer = {
         "attn": attn,
@@ -64,10 +95,10 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, model_axis: str = "model"):
         "ln2": s(),
     }
     return {
-        "embed": s(),
+        "embed": sf((cfg.vocab_size, H), (f, None)),
         "layers": [layer] * cfg.num_layers,
         "final_norm": s(),
-        "lm_head": s(None, m),
+        "lm_head": sf((H, cfg.vocab_size), (f, m)),
     }
 
 
@@ -150,9 +181,15 @@ def cross_entropy_loss_packed(params, cfg: ModelConfig, batch, positions,
 
 
 def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
-                    interpret: Optional[bool] = None):
+                    interpret: Optional[bool] = None, fsdp: bool = False):
     """Build a jitted (params, opt_state, batch) -> (params, opt_state, loss)
-    training step with DP/SP/TP/EP shardings over ``mesh``."""
+    training step with DP/SP/TP/EP shardings over ``mesh``.
+
+    ``fsdp=True`` shards weights (and therefore grads and optimizer state,
+    which mirror the param shardings) over the 'data' axis too — ZeRO-3
+    memory at unchanged semantics. Initialize ``opt_state =
+    optimizer.init(sharded_params)`` so its leaves inherit the layout.
+    """
     attn_impl = make_sharded_attn(mesh, interpret=interpret)
     batch_sharding = NamedSharding(mesh, P("data", None))
 
@@ -163,7 +200,8 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 
-    p_shardings = param_shardings(cfg, mesh)
+    p_shardings = param_shardings(
+        cfg, mesh, fsdp_axis="data" if fsdp else None)
     return jax.jit(
         step,
         in_shardings=(p_shardings, None, batch_sharding),

@@ -397,3 +397,47 @@ def test_sharded_dispatcher_matches_single_device(window):
                                s_aux=s_aux)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-3)
+
+
+def test_fsdp_train_step_matches_unsharded():
+    """FSDP/ZeRO: weights + optimizer state sharded over 'data'. Loss must
+    match the unsharded step exactly (FSDP is a memory layout, not a
+    semantics change); optimizer state leaves must actually be partitioned
+    over the data axis."""
+    import optax
+    from jax.sharding import Mesh
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.parallel.train import (cross_entropy_loss,
+                                                   make_train_step)
+
+    cfg = ModelConfig.tiny(num_heads=8, num_kv_heads=4, head_dim=16,
+                           hidden_size=64, num_experts=2, sliding_window=16,
+                           vocab_size=128, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batch = jax.random.randint(jax.random.PRNGKey(1), (4, 33), 0,
+                               cfg.vocab_size)
+    opt = optax.adamw(1e-3)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "seq", "model"))
+    step, p_sh = make_train_step(cfg, mesh, opt, fsdp=True)
+
+    # the wq sharding spec must include 'data' on the input dim
+    wq_spec = p_sh["layers"][0]["attn"]["wq"].spec
+    assert wq_spec == P("data", "model"), wq_spec
+    assert p_sh["embed"].spec == P("data", None)
+
+    with mesh:
+        params_sh = jax.device_put(params, p_sh)
+        opt_state = opt.init(params_sh)
+        # Adam mu inherits the fsdp layout -> sharded over data
+        mu_wq = opt_state[0].mu["layers"][0]["attn"]["wq"]
+        assert "data" in jax.tree_util.tree_leaves(
+            [mu_wq.sharding.spec])[0], mu_wq.sharding.spec
+        new_params, _, loss = step(params_sh, opt_state, batch)
+
+    ref_loss = cross_entropy_loss(params, cfg, batch)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    # params moved and kept their fsdp sharding
+    new_wq = new_params["layers"][0]["attn"]["wq"]
+    assert new_wq.sharding.spec == P("data", "model")
