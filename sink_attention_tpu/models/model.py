@@ -427,6 +427,7 @@ def forward_prefill(
     interpret: Optional[bool] = None,
     attn_impl=None,
     collect_kv: bool = False,
+    remat: bool = False,
 ):
     """Full-sequence forward. input_ids: [B, N] -> logits [B, N, V].
 
@@ -437,6 +438,11 @@ def forward_prefill(
     engine to insert a prefilled request into a ragged cache slot.
     ``attn_impl(q, k, v, num_sink, window, s_aux)`` overrides the attention
     op (e.g. a shard_map'd Ulysses island for sharded training).
+    ``remat=True`` wraps each decoder layer in ``jax.checkpoint`` so the
+    backward pass recomputes layer activations instead of storing them —
+    training-memory O(1) in depth (+ one extra forward of FLOPs), the
+    standard long-sequence trade on HBM-bound TPUs. Inference-only paths
+    (``caches``/``collect_kv``) ignore it.
     """
     B, N = input_ids.shape
     x = _embed_lookup(params["embed"], input_ids)
@@ -446,6 +452,15 @@ def forward_prefill(
     if attn_impl is None:
         attn_impl = functools.partial(sink_flash_attention,
                                       interpret=interpret)
+
+    if remat and caches is None and not collect_kv:
+        for li, lp in enumerate(params["layers"]):
+            window = cfg.window_for_layer(li, N)
+            layer_fn = jax.checkpoint(functools.partial(
+                decoder_layer, cfg=cfg, window=window, attn_impl=attn_impl))
+            x = layer_fn(lp, x=x, cos=cos, sin=sin)
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return _mm(x, params["lm_head"]), None
 
     new_caches = [] if caches is not None else None
     kvs = [] if collect_kv else None

@@ -138,10 +138,12 @@ def make_sharded_attn(mesh: Mesh, data_axis: str = "data",
     return attn
 
 
-def cross_entropy_loss(params, cfg: ModelConfig, batch, attn_impl=None):
+def cross_entropy_loss(params, cfg: ModelConfig, batch, attn_impl=None,
+                       remat: bool = False):
     """Next-token CE loss. batch: int32 [B, N+1]."""
     inputs, targets = batch[:, :-1], batch[:, 1:]
-    logits, _ = forward_prefill(params, cfg, inputs, attn_impl=attn_impl)
+    logits, _ = forward_prefill(params, cfg, inputs, attn_impl=attn_impl,
+                                remat=remat)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return -jnp.mean(ll)
@@ -181,7 +183,8 @@ def cross_entropy_loss_packed(params, cfg: ModelConfig, batch, positions,
 
 
 def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
-                    interpret: Optional[bool] = None, fsdp: bool = False):
+                    interpret: Optional[bool] = None, fsdp: bool = False,
+                    remat: bool = False, accum_steps: int = 1):
     """Build a jitted (params, opt_state, batch) -> (params, opt_state, loss)
     training step with DP/SP/TP/EP shardings over ``mesh``.
 
@@ -189,13 +192,44 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
     which mirror the param shardings) over the 'data' axis too — ZeRO-3
     memory at unchanged semantics. Initialize ``opt_state =
     optimizer.init(sharded_params)`` so its leaves inherit the layout.
+
+    ``remat=True`` checkpoints each decoder layer (backward recomputes
+    activations — the long-sequence memory trade). ``accum_steps=k``
+    splits the batch's leading dim into k microbatches scanned
+    sequentially with gradient accumulation: the effective batch grows
+    k-fold at one microbatch's activation memory, exact mean-of-means
+    semantics (every microbatch contributes equally).
     """
     attn_impl = make_sharded_attn(mesh, interpret=interpret)
     batch_sharding = NamedSharding(mesh, P("data", None))
+    loss_fn = functools.partial(cross_entropy_loss, attn_impl=attn_impl,
+                                remat=remat)
+
+    def grads_of(params, batch):
+        return jax.value_and_grad(loss_fn)(params, cfg, batch)
 
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(cross_entropy_loss)(
-            params, cfg, batch, attn_impl=attn_impl)
+        if accum_steps == 1:
+            loss, grads = grads_of(params, batch)
+        else:
+            B = batch.shape[0]
+            assert B % accum_steps == 0, (B, accum_steps)
+            micro = batch.reshape(accum_steps, B // accum_steps,
+                                  *batch.shape[1:])
+            # keep each microbatch sharded over 'data'
+            micro = jax.lax.with_sharding_constraint(
+                micro, NamedSharding(mesh, P(None, "data", None)))
+
+            def body(acc, mb):
+                loss_sum, g_acc = acc
+                loss, g = grads_of(params, mb)
+                return (loss_sum + loss,
+                        jax.tree_util.tree_map(jnp.add, g_acc, g)), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (loss_sum, g_sum), _ = jax.lax.scan(body, (0.0, zeros), micro)
+            loss = loss_sum / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, g_sum)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss

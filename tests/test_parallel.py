@@ -441,3 +441,44 @@ def test_fsdp_train_step_matches_unsharded():
     # params moved and kept their fsdp sharding
     new_wq = new_params["layers"][0]["attn"]["wq"]
     assert new_wq.sharding.spec == P("data", "model")
+
+
+def test_remat_and_accum_match_plain_step():
+    """jax.checkpoint'd layers and k-microbatch gradient accumulation must
+    both reproduce the plain step's loss and updated params exactly (remat
+    changes scheduling, not math; equal-size microbatch mean-of-means ==
+    full-batch mean)."""
+    import optax
+    from jax.sharding import Mesh
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.parallel.train import make_train_step
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batch = jax.random.randint(jax.random.PRNGKey(1), (8, 17), 0,
+                               cfg.vocab_size)
+    opt = optax.sgd(1e-2)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 1, 2)
+    mesh = Mesh(devs, ("data", "seq", "model"))
+
+    def run(**kw):
+        step, p_sh = make_train_step(cfg, mesh, opt, **kw)
+        with mesh:
+            p = jax.device_put(params, p_sh)
+            st = opt.init(p)
+            new_p, _, loss = step(p, st, batch)
+        return float(loss), new_p
+
+    loss0, p0 = run()
+    loss_r, p_r = run(remat=True)
+    loss_a, p_a = run(accum_steps=4)
+
+    np.testing.assert_allclose(loss_r, loss0, rtol=1e-6)
+    np.testing.assert_allclose(loss_a, loss0, rtol=1e-5)
+    for ref, got, tol in ((p0, p_r, 1e-6), (p0, p_a, 1e-5)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=tol, rtol=tol), ref, got)
