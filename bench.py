@@ -14,6 +14,7 @@ Prints ONE JSON line:
 
 import json
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +42,20 @@ def main():
         return sink_flash_attention(q, k, v, num_sink=num_sink,
                                     window_size=window)
 
-    dt = time_chained(op, q, iters_lo=4, iters_hi=20, reps=3)
+    # The remote-compile tunnel occasionally throws transient HTTP 500s;
+    # retry a couple of times before letting the bench fail.
+    last_err = None
+    for attempt in range(3):
+        try:
+            dt = time_chained(op, q, iters_lo=4, iters_hi=20, reps=3)
+            break
+        except Exception as e:  # pragma: no cover - tunnel flakiness
+            last_err = e
+            print(f"[bench] attempt {attempt + 1} failed: {e}",
+                  file=sys.stderr)
+            time.sleep(20)
+    else:
+        raise last_err
     flops = sink_attention_flops(B, H_q, N, D, num_sink, window)
     tflops = flops / dt / 1e12
 
