@@ -7,6 +7,10 @@ Runs on real chips or, for a dry run, on a virtual CPU mesh:
 
 Packed (multi-segment) batches: swap the loss for
 ``parallel.train.cross_entropy_loss_packed`` and feed position_ids.
+Memory levers for big models / long sequences (all composable):
+``make_train_step(fsdp=True)`` (ZeRO-3 weight+optimizer sharding over
+'data'), ``remat=True`` (recompute layer activations in backward),
+``accum_steps=k`` (microbatch gradient accumulation).
 """
 
 import sys
@@ -32,7 +36,8 @@ def main():
                            num_layers=2)
     params = init_params(cfg, jax.random.PRNGKey(0))
     opt = optax.adamw(1e-3)
-    step, p_sh = make_train_step(cfg, mesh, opt)
+    step, p_sh = make_train_step(cfg, mesh, opt, fsdp=dp > 1, remat=True,
+                                 accum_steps=2)
     params = jax.device_put(params, p_sh)
     opt_state = opt.init(params)
     batch = jax.random.randint(jax.random.PRNGKey(1), (2 * dp, 129), 0,

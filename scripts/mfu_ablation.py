@@ -14,6 +14,17 @@ online-softmax stages back one at a time:
               (every tile pays the full 5-term mask) — shows what the
               specialized branches buy
 
+Candidate-optimization stages (correct-softmax variants with work moved
+off the VPU; measured here before any production-kernel surgery):
+
+  sum_mxu     like `sum` but the l row-sum rides the MXU — an extra
+              dot(p, ones[bn, 128]) instead of the whole-tile VPU reduce
+              (trades +bm*bn*128 MXU FLOPs for -1 VPU pass)
+  nomax       VFA-style: softmax against a precomputed global bound
+              instead of a running max (arXiv 2604.12798) — drops the
+              rowmax reduce, m bookkeeping AND the acc rescale
+  nomax_summxu  both of the above — the full vector-op-relief endgame
+
 The gap between `mxu_floor` and the 100%-MFU analytic time is the
 MXU/DMA/grid floor on this silicon; the per-stage deltas show where the
 rest of the time goes. Run: python scripts/mfu_ablation.py
@@ -76,6 +87,23 @@ def _ablation_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
             s = jnp.where(mask_fn(), s, NEG_INF)
         if stage == "mxu_floor":
             p = s
+        elif stage in ("nomax", "nomax_summxu"):
+            # VFA-style: a precomputed global bound M replaces the running
+            # max — no rowmax reduce, no m bookkeeping, no acc rescale.
+            # (Here M is a constant; production would derive a per-row
+            # bound from a prepass. exp2(s - M) merely scales p and l by a
+            # common factor that the final acc/l normalization cancels.)
+            p = jnp.exp2(s - 16.0)
+            if stage == "nomax_summxu":
+                ones = jnp.ones((bn, 128), jnp.bfloat16)
+                lsum = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), ones, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                l_ref[...] = l_ref[...] + lsum
+            else:
+                l_ref[...] = jnp.broadcast_to(
+                    l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True),
+                    l_ref.shape)
         else:
             m_prev = m_ref[:, :1]
             row_max = jnp.max(s, axis=1, keepdims=True)
@@ -86,7 +114,17 @@ def _ablation_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
                 p = s
             else:
                 p = jnp.exp2(s - m_new)
-                if stage != "exp2":  # "sum" and beyond
+                if stage == "sum_mxu":
+                    # l row-sum on the MXU: dot(p, ones) — every output
+                    # lane holds the row sum; one extra matmul replaces
+                    # the whole-tile VPU reduce.
+                    ones = jnp.ones((bn, 128), jnp.bfloat16)
+                    lsum = jax.lax.dot_general(
+                        p.astype(jnp.bfloat16), ones,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    l_ref[...] = l_ref[...] * alpha + lsum
+                elif stage != "exp2":  # "sum" and beyond
                     l_ref[...] = jnp.broadcast_to(
                         l_ref[:, :1] * alpha +
                         jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
@@ -187,7 +225,8 @@ def main():
           f"{fl / V5E_PEAK_BF16 * 1e3:.2f} ms; useful TFLOP {fl/1e12:.2f}")
     print(f"{'variant':<12} {'ms':>8} {'eff-MFU%':>9}")
     rows = []
-    for stage in ["mxu_floor", "rowmax", "exp2", "sum", "general"]:
+    for stage in ["mxu_floor", "rowmax", "exp2", "sum", "general",
+                  "sum_mxu", "nomax", "nomax_summxu"]:
         fn, ops = run_ablation(q, k, v, stage)
         qp = ops[0]
         dt = time_chained(lambda x, kp, vp: fn(x, kp, vp).astype(x.dtype),
