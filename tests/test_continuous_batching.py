@@ -309,3 +309,27 @@ def test_engine_top_k_restricts_support():
         logits, _ = forward_prefill(params, cfg, ids)
         top2 = set(np.argsort(np.asarray(logits[0, -1]))[-2:].tolist())
         assert toks[t] in top2, (t, toks[t], top2)
+
+
+def test_engine_dense_family():
+    """Continuous batching serves the dense (Qwen2-style) family: each
+    request's tokens match the single-sequence greedy path."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import (ContinuousBatchingEngine,
+                                            greedy_generate)
+
+    cfg = ModelConfig.qwen2_tiny()
+    params = init_params(cfg, jax.random.PRNGKey(5), jnp.float32)
+    prompts = [[3, 7, 11], [9, 1, 4, 2, 8]]
+    expected = {}
+    for i, p in enumerate(prompts):
+        ids = jnp.asarray(p, jnp.int32)[None]
+        toks = greedy_generate(params, cfg, ids, 6, dtype=jnp.float32)
+        expected[i] = [int(t) for t in np.asarray(toks[0])]
+
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=2, max_len=64,
+                                   prefill_bucket=16, dtype=jnp.float32)
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    out = eng.run()
+    assert out[rids[0]] == expected[0]
+    assert out[rids[1]] == expected[1]

@@ -88,3 +88,19 @@ def test_sharded_generate_bf16(setup):
     np.testing.assert_array_equal(t1, t2)  # deterministic
     agree = (t1 == np.asarray(ref)).mean()
     assert agree >= 0.5, (agree, t1, np.asarray(ref))
+
+
+def test_sharded_generate_dense_family():
+    """TP serving of a dense (Qwen2-style) model: Megatron MLP split +
+    head-sharded attention, token-exact vs single-device."""
+    cfg = ModelConfig.qwen2_tiny(num_heads=8, num_kv_heads=4)
+    params = init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 8), 0,
+                             cfg.vocab_size)
+    ref = greedy_generate(params, cfg, ids, max_new_tokens=6,
+                          dtype=jnp.float32)
+    mesh = make_mesh({"model": 4}, devices=jax.devices()[:4])
+    p_sh, gen = make_sharded_generate(cfg, mesh, dtype=jnp.float32)
+    sp = jax.device_put(params, p_sh)
+    toks = gen(sp, ids, 6)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
