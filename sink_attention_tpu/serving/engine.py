@@ -400,3 +400,65 @@ class ContinuousBatchingEngine:
         for req in all_reqs:
             finished[req.rid] = req.tokens
         return finished
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Snapshot the full mid-serving state: device arrays (caches,
+        pending tokens, PRNG key, per-slot sampling params) via orbax plus
+        request bookkeeping as JSON. A fresh engine built with the same
+        (params, cfg, max_batch, max_len, ...) resumes with
+        :meth:`load_state` and produces exactly the tokens the
+        uninterrupted run would have (the key is part of the state, so
+        even stochastic sampling resumes deterministically). The reference
+        keeps all cache state in-memory only (cache.py:52-66)."""
+        import dataclasses
+        import json
+
+        from ..utils import checkpoint
+
+        # caches go as flat leaves: orbax restores flax.struct nodes as
+        # plain dicts, so the loader unflattens against the fresh
+        # engine's own treedef instead
+        checkpoint.save(path, {
+            "cache_leaves": jax.tree_util.tree_leaves(self.caches),
+            "toks": self.toks, "key": self.key,
+            "temps": self._temps, "topks": self._topks,
+            "topps": self._topps})
+        meta = {
+            "next_rid": self._next_rid,
+            "slots": [dataclasses.asdict(r) if r is not None else None
+                      for r in self._slots],
+            "queue": [dataclasses.asdict(r) for r in self._queue],
+        }
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+    def load_state(self, path: str) -> None:
+        """Restore a :meth:`save_state` snapshot into this engine."""
+        import json
+
+        from ..utils import checkpoint
+
+        state = checkpoint.restore(path)
+        treedef = jax.tree_util.tree_structure(self.caches)
+        self.caches = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in state["cache_leaves"]])
+        self.toks = jnp.asarray(state["toks"])
+        self.key = jnp.asarray(state["key"])
+        self._temps = jnp.asarray(state["temps"])
+        self._topks = jnp.asarray(state["topks"])
+        self._topps = jnp.asarray(state["topps"])
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+
+        def req(d):
+            if d is None:
+                return None
+            if d.get("sampling") is not None:
+                d = dict(d, sampling=SamplingParams(**d["sampling"]))
+            return Request(**d)
+
+        self._next_rid = meta["next_rid"]
+        self._slots = [req(d) for d in meta["slots"]]
+        self._queue = [req(d) for d in meta["queue"]]

@@ -333,3 +333,47 @@ def test_engine_dense_family():
     out = eng.run()
     assert out[rids[0]] == expected[0]
     assert out[rids[1]] == expected[1]
+
+
+def test_engine_checkpoint_resume(tmp_path):
+    """Mid-serving snapshot: save after a few steps, resume into a FRESH
+    engine, finish both — the resumed run must produce exactly the tokens
+    the uninterrupted run does (PRNG key is part of the state, so this
+    holds under stochastic sampling too)."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import (ContinuousBatchingEngine,
+                                            SamplingParams)
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    kw = dict(max_batch=2, max_len=64, prefill_bucket=16, dtype=jnp.float32,
+              seed=3)
+
+    def submit_all(eng):
+        r0 = eng.submit([5, 9, 2], max_new_tokens=10)
+        r1 = eng.submit([7, 1, 3], max_new_tokens=10,
+                        sampling=SamplingParams(temperature=1.0, top_k=4))
+        return r0, r1
+
+    # uninterrupted
+    eng_a = ContinuousBatchingEngine(params, cfg, **kw)
+    ra = submit_all(eng_a)
+    for _ in range(4):
+        eng_a.step()
+    rest_a = eng_a.run(chunk=1)
+
+    # interrupted after the same 4 steps -> snapshot -> fresh engine
+    eng_b = ContinuousBatchingEngine(params, cfg, **kw)
+    rb = submit_all(eng_b)
+    for _ in range(4):
+        eng_b.step()
+    eng_b.save_state(str(tmp_path / "snap"))
+
+    eng_c = ContinuousBatchingEngine(params, cfg, **kw)
+    eng_c.load_state(str(tmp_path / "snap"))
+    rest_c = eng_c.run(chunk=1)
+
+    assert rest_a[ra[0]] == rest_c[rb[0]]
+    assert rest_a[ra[1]] == rest_c[rb[1]]
