@@ -24,6 +24,10 @@ off the VPU; measured here before any production-kernel surgery):
               instead of a running max (arXiv 2604.12798) — drops the
               rowmax reduce, m bookkeeping AND the acc rescale
   nomax_summxu  both of the above — the full vector-op-relief endgame
+  bf16exp     exp2 evaluated on a bf16 argument producing bf16 p — the
+              transcendental runs at 2-per-lane packed width and the
+              separate p astype pass disappears (p error ~1e-3 relative
+              where p ~ 1; bf16 output rounding dominates anyway)
 
 The gap between `mxu_floor` and the 100%-MFU analytic time is the
 MXU/DMA/grid floor on this silicon; the per-stage deltas show where the
@@ -112,6 +116,12 @@ def _ablation_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
             m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
             if stage == "rowmax":
                 p = s
+            elif stage == "bf16exp":
+                p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+                l_ref[...] = jnp.broadcast_to(
+                    l_ref[:, :1] * alpha +
+                    jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32),
+                    l_ref.shape)
             else:
                 p = jnp.exp2(s - m_new)
                 if stage == "sum_mxu":
@@ -226,7 +236,7 @@ def main():
     print(f"{'variant':<12} {'ms':>8} {'eff-MFU%':>9}")
     rows = []
     for stage in ["mxu_floor", "rowmax", "exp2", "sum", "general",
-                  "sum_mxu", "nomax", "nomax_summxu"]:
+                  "sum_mxu", "nomax", "nomax_summxu", "bf16exp"]:
         fn, ops = run_ablation(q, k, v, stage)
         qp = ops[0]
         dt = time_chained(lambda x, kp, vp: fn(x, kp, vp).astype(x.dtype),
