@@ -123,6 +123,10 @@ class ContinuousBatchingEngine:
         self.eos_id = eos_id
         self.sampling = sampling or SamplingParams()
         self.candidate_k = candidate_k
+        if self.sampling.top_k > candidate_k:
+            raise ValueError(
+                f"engine default top_k={self.sampling.top_k} exceeds "
+                f"candidate_k={candidate_k}; raise candidate_k")
         self.interpret = interpret
         # per-slot sampling state ([B] device arrays fed to the jitted
         # decode step; a request's own SamplingParams override the engine
