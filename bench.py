@@ -53,7 +53,8 @@ def main():
             last_err = e
             print(f"[bench] attempt {attempt + 1} failed: {e}",
                   file=sys.stderr)
-            time.sleep(20)
+            if attempt < 2:
+                time.sleep(20)
     else:
         raise last_err
     flops = sink_attention_flops(B, H_q, N, D, num_sink, window)

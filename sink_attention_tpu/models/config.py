@@ -71,6 +71,13 @@ class ModelConfig:
             return self.sliding_window
         return max(n_ctx, 1)
 
+    @property
+    def o_bias(self) -> bool:
+        """Effective o_proj bias flag (attention_out_bias overrides
+        attention_bias when set — Qwen2 has qkv biases but no o bias)."""
+        return (self.attention_bias if self.attention_out_bias is None
+                else self.attention_out_bias)
+
     @classmethod
     def tiny(cls, **kw) -> "ModelConfig":
         defaults = dict(
@@ -190,8 +197,11 @@ class ModelConfig:
                 rope_scaling=get("rope_scaling"),
                 rms_norm_eps=get("rms_norm_eps", 1e-6),
                 attention_bias=qkv_bias,
-                # Qwen2 has qkv biases but no o bias; Llama has neither
-                attention_out_bias=False if qkv_bias else None,
+                # Qwen2's modeling hardcodes o_proj bias=False even though
+                # its qkv have biases; Llama/Mistral apply attention_bias
+                # to ALL four projections (None = follow attention_bias)
+                attention_out_bias=(False if model_type == "qwen2"
+                                    else None),
                 max_position_embeddings=max_pos,
                 mlp_type="dense", use_s_aux=False,
             )

@@ -131,8 +131,7 @@ def params_from_hf_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
     def zeros(shape):
         return jnp.zeros(shape, dtype)
 
-    o_bias = (cfg.attention_bias if cfg.attention_out_bias is None
-              else cfg.attention_out_bias)
+    o_bias = cfg.o_bias
     layers = []
     for i in range(cfg.num_layers):
         pre = f"model.layers.{i}."

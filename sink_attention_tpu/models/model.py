@@ -253,9 +253,7 @@ def _out_proj(p: dict, cfg: ModelConfig, attn: jax.Array) -> jax.Array:
     B, HQ, N, D = attn.shape
     y = attn.transpose(0, 2, 1, 3).reshape(B, N, HQ * D)
     y = _mm(y, p["wo"])
-    o_bias = (cfg.attention_bias if cfg.attention_out_bias is None
-              else cfg.attention_out_bias)
-    if o_bias:
+    if cfg.o_bias:
         y = y + p["bo"].astype(y.dtype)
     return y
 
@@ -334,15 +332,17 @@ def dense_mlp(p: dict, x: jax.Array) -> jax.Array:
     return _mm(jax.nn.silu(g) * u, p["down"])
 
 
-def mlp_block(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+def mlp_block(p: dict, cfg: ModelConfig, x: jax.Array,
+              active=None) -> jax.Array:
     """The per-layer MLP: MoE (gpt-oss) or dense gated-SiLU (Qwen/Llama),
-    selected by ``cfg.mlp_type``."""
+    selected by ``cfg.mlp_type``. ``active`` (optional [B] bool) marks
+    batch rows whose output is discarded — see ``moe``."""
     if cfg.mlp_type == "dense":
         return dense_mlp(p, x)
-    return moe(p, cfg, x)
+    return moe(p, cfg, x, active=active)
 
 
-def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+def moe(p: dict, cfg: ModelConfig, x: jax.Array, active=None) -> jax.Array:
     """gpt-oss MoE block. x: [B, N, H] -> [B, N, H].
 
     Two exact formulations, picked by token count:
@@ -357,11 +357,19 @@ def moe(p: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
       k=4, E=32 this cuts MoE weight traffic 8x; at 8 slots it reads only
       the ~20 distinct routed experts instead of all 32, in one fused
       scan instead of 32 sequential per-token matmuls.
+
+    ``active`` ([B] bool, optional): rows whose output the caller discards
+    (inactive continuous-batching slots). Their routing weights are zeroed
+    so the grouped path does not read expert weights routed by stale
+    tokens — the savings it exists for are per *active* slot.
     """
     B, N, H = x.shape
     T = B * N
     xt = x.reshape(T, H)
     routing = moe_routing(p, cfg, xt)
+    if active is not None:
+        act_t = jnp.repeat(active, N).astype(routing.dtype)      # [B*N]
+        routing = routing * act_t[:, None]
     out = moe_experts(p, cfg, xt, routing)
     return out.reshape(B, N, H).astype(x.dtype)
 
@@ -565,7 +573,7 @@ def forward_decode_ragged(
         new_caches.append(cache)
         x = x + _out_proj(lp["attn"], cfg, attn)
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + mlp_block(lp["mlp"], cfg, h)
+        x = x + mlp_block(lp["mlp"], cfg, h, active=active)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _mm(x, params["lm_head"])

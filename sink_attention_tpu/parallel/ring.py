@@ -49,7 +49,10 @@ def sharded_sink_flash_attention(q_local, k_local, v_local,
     which silently loses cross-chunk window context in both regimes.
     """
     n_local = k_local.shape[2]
-    if window_size - 1 <= n_local:
+    # halo SP also requires the sinks to live entirely on shard 0
+    # (broadcast_sink_kv reads shard 0's first num_sink slots); the ring
+    # path handles num_sink > n_local via its full-rotation fallback.
+    if window_size - 1 <= n_local and num_sink <= n_local:
         return sp_sink_flash_attention(
             q_local, k_local, v_local, num_sink=num_sink,
             window_size=window_size, s_aux=s_aux, axis_name=axis_name,

@@ -95,6 +95,10 @@ def sp_sink_flash_attention(q_local, k_local, v_local, num_sink: int = 4,
     # One-neighbor halo covers at most one shard of left context; a wider
     # window silently loses cross-shard context, so refuse at trace time
     # (use parallel.ring.ring_sink_flash_attention for that regime).
+    assert num_sink <= n_local, (
+        f"num_sink={num_sink} exceeds shard length {n_local}: the sink "
+        "broadcast reads shard 0's first num_sink slots; use "
+        "ring_sink_flash_attention (or sharded_sink_flash_attention)")
     assert window_size - 1 <= n_local, (
         f"window_size={window_size} exceeds shard length {n_local}: "
         "halo SP is exact only for window_size - 1 <= n_local; use "

@@ -144,9 +144,7 @@ def tp_decoder_layer(lp: dict, cfg_local: ModelConfig, x: jax.Array,
     y = attn.transpose(0, 2, 1, 3).reshape(B, N, -1)
     part = _mm(y, ap["wo"])                       # partial over head shards
     out = tp_region_out(part, axis_name)
-    o_bias = (cfg_local.attention_bias if cfg_local.attention_out_bias
-              is None else cfg_local.attention_out_bias)
-    if o_bias:
+    if cfg_local.o_bias:
         out = out + ap["bo"].astype(out.dtype)    # bias once, post-psum
     x = x + out
 

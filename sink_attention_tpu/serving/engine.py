@@ -49,9 +49,11 @@ def _sample_batch(logits: jax.Array, key, temps, topks, topps,
     temperature-scaled categorical filtered per slot by top-k and/or
     top-p. Filtering thresholds come from the top ``candidate_k`` logits:
     top-k is exact for k <= candidate_k (enforced at submit time), and
-    top-p is exact whenever the nucleus fits in the candidates, falling
-    back to unfiltered sampling when it does not (flat distributions with
-    p ≈ 1 — where the filter would barely bite anyway).
+    top-p is exact whenever the nucleus fits in the candidates; when a
+    flat/high-temperature distribution needs more than candidate_k
+    candidates, the nucleus is truncated to the top candidate_k tokens —
+    over-truncating rather than silently admitting the low-probability
+    tail top_p exists to exclude (raise ``candidate_k`` for exactness).
     """
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     greedy = temps <= 0.0
@@ -71,9 +73,9 @@ def _sample_batch(logits: jax.Array, key, temps, topks, topps,
     n_keep = jnp.sum(keep, axis=-1, keepdims=True).astype(jnp.int32)
     pth = jnp.take_along_axis(vals, n_keep - 1, axis=1)
     contained = cum[:, -1:] >= topps[:, None]  # nucleus fits in candidates
+    pth_eff = jnp.where(contained, pth, vals[:, -1:])  # else: clamp to top-K
     thresh = jnp.maximum(
-        thresh, jnp.where((topps[:, None] < 1.0) & contained, pth,
-                          -jnp.inf))
+        thresh, jnp.where(topps[:, None] < 1.0, pth_eff, -jnp.inf))
     masked = jnp.where(scaled >= thresh, scaled, -jnp.inf)
     sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
     return jnp.where(greedy, greedy_tok, sampled)
@@ -385,10 +387,16 @@ class ContinuousBatchingEngine:
         pending = list(self._queue) + [r for r in self._slots if r]
         all_reqs.extend(pending)
         while self._queue or self.active_count:
+            # admit BEFORE sizing the chunk: only slotted requests can
+            # decode this chunk, and sizing by a queued request's large
+            # budget would run wasted all-inactive steps while delaying
+            # that very request's admission
+            self._admit()
+            if not self.active_count:
+                continue
             if chunk is None:
                 remaining = [r.max_new_tokens - len(r.tokens)
-                             for r in list(self._queue) +
-                             [s for s in self._slots if s]]
+                             for r in self._slots if r is not None]
                 need = max(remaining + [1])
                 # next power of two, capped at 32: bounds the number of
                 # compiled chunk sizes; overshoot steps are masked in-scan

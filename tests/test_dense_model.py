@@ -70,18 +70,27 @@ def test_qwen2_logits_match_hf_eager():
     assert (logits.argmax(-1) == hf_logits.argmax(-1)).mean() == 1.0
 
 
-def test_llama_logits_match_hf_eager():
-    """Llama family: no attention biases at all, full attention."""
+@pytest.mark.parametrize("attn_bias", [False, True])
+def test_llama_logits_match_hf_eager(attn_bias):
+    """Llama family: attention_bias applies to ALL FOUR projections
+    (unlike Qwen2, whose o_proj is hardcoded bias-free) — the True case
+    pins that the checkpoint's real o_proj bias is loaded, not zeros."""
     import torch
     torch.manual_seed(1)
     hf_cfg = transformers.LlamaConfig(
         vocab_size=128, hidden_size=48, num_hidden_layers=2,
         num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
         rope_theta=50000.0, rms_norm_eps=1e-6, max_position_embeddings=512,
-        tie_word_embeddings=False, attn_implementation="eager")
+        tie_word_embeddings=False, attention_bias=attn_bias,
+        attn_implementation="eager")
     hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    if attn_bias:  # random-init biases are zero; make them matter
+        with torch.no_grad():
+            for layer in hf_model.model.layers:
+                layer.self_attn.o_proj.bias.normal_(0.0, 0.5)
     cfg = ModelConfig.from_hf_config(hf_cfg)
-    assert not cfg.attention_bias and cfg.mlp_type == "dense"
+    assert cfg.attention_bias == attn_bias and cfg.mlp_type == "dense"
+    assert cfg.o_bias == attn_bias
     params = params_from_hf_state_dict(hf_model.state_dict(), cfg,
                                        dtype=jnp.float32)
     ids = np.random.RandomState(1).randint(0, cfg.vocab_size, (1, 33))

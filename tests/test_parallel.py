@@ -373,11 +373,16 @@ def test_ring_skip_ahead_gradients():
                                    rtol=1e-2)
 
 
-@pytest.mark.parametrize("window", [128, 640])  # halo regime / ring regime
-def test_sharded_dispatcher_matches_single_device(window):
-    """sharded_sink_flash_attention picks halo SP when the window fits in
-    one shard (window-1 <= n_local = 256) and ring skip-ahead otherwise;
-    both must equal the single-device oracle."""
+@pytest.mark.parametrize("num_sink,window", [
+    (4, 128),    # halo regime: window fits one shard
+    (4, 640),    # ring regime: window spans shards
+    (300, 128),  # sinks spill past shard 0 (n_local=256): must pick ring
+])
+def test_sharded_dispatcher_matches_single_device(num_sink, window):
+    """sharded_sink_flash_attention picks halo SP only when BOTH the
+    window and the sink prefix fit in one shard (n_local = 256), ring
+    skip-ahead otherwise; all regimes must equal the single-device
+    oracle."""
     from sink_attention_tpu.parallel import sharded_sink_flash_attention
 
     n_dev = 4
@@ -388,13 +393,13 @@ def test_sharded_dispatcher_matches_single_device(window):
 
     out = jax.jit(jax.shard_map(
         lambda q, k, v: sharded_sink_flash_attention(
-            q, k, v, num_sink=4, window_size=window, s_aux=s_aux,
+            q, k, v, num_sink=num_sink, window_size=window, s_aux=s_aux,
             axis_name="seq"),
         mesh=mesh, in_specs=(P(None, None, "seq", None),) * 3,
         out_specs=P(None, None, "seq", None), check_vma=False))(q, k, v)
 
-    ref = eager_sink_attention(q, k, v, num_sink=4, window_size=window,
-                               s_aux=s_aux)
+    ref = eager_sink_attention(q, k, v, num_sink=num_sink,
+                               window_size=window, s_aux=s_aux)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-3)
 
