@@ -125,29 +125,33 @@ class RaggedSinkKVCache:
         if D < d_pad:
             k_seq = jnp.pad(k_seq, ((0, 0), (0, 0), (0, d_pad - D)))
             v_seq = jnp.pad(v_seq, ((0, 0), (0, 0), (0, d_pad - D)))
-        if n_pad < W:
-            k_seq = jnp.pad(k_seq, ((0, 0), (0, W - n_pad), (0, 0)))
-            v_seq = jnp.pad(v_seq, ((0, 0), (0, W - n_pad), (0, 0)))
-            n_pad = W
+        if n_pad < max(W, ns):
+            extra = max(W, ns) - n_pad
+            k_seq = jnp.pad(k_seq, ((0, 0), (0, extra), (0, 0)))
+            v_seq = jnp.pad(v_seq, ((0, 0), (0, extra), (0, 0)))
+            n_pad += extra
         true_len = jnp.asarray(true_len, jnp.int32)
         slot = jnp.asarray(slot, jnp.int32)
 
-        # Roll so real tokens END at index n_pad, then the last W slots are
-        # the ring contents (junk at the front when fewer than W window
-        # tokens exist — masked out by window_len).
+        # Sinks: the input is right-padded (real tokens at [0, true_len)),
+        # so the sink tokens are literally the first ns positions — a
+        # static slice. (A previous version dynamic-sliced a rolled copy
+        # relying on dynamic_slice start-clamping; XLA composes roll+slice
+        # into a wrapped gather under jit, the clamp never materializes,
+        # and short prompts stored their sink tokens rotated out of
+        # [0, sink_len) — jit/eager divergence caught by code review.)
+        sink_k = k_seq[:, :ns]
+        sink_v = v_seq[:, :ns]
+        n_sink = jnp.minimum(true_len, ns)
+
+        # Window: roll so real tokens END at index n_pad, then the last W
+        # slots are the ring contents (junk at the front when fewer than W
+        # window tokens exist — masked out by window_len).
         shift = n_pad - true_len
         k_roll = jnp.roll(k_seq, shift, axis=1)
         v_roll = jnp.roll(v_seq, shift, axis=1)
         win_k = k_roll[:, n_pad - W:]
         win_v = v_roll[:, n_pad - W:]
-        # Sinks: first ns real tokens. dynamic_slice clamps its start, so
-        # for prompts shorter than ns the slice picks up leading junk —
-        # rotate it out so real tokens sit at [0, sink_len).
-        sink_k = jax.lax.dynamic_slice_in_dim(k_roll, shift, ns, axis=1)
-        sink_v = jax.lax.dynamic_slice_in_dim(v_roll, shift, ns, axis=1)
-        n_sink = jnp.minimum(true_len, ns)
-        sink_k = jnp.roll(sink_k, n_sink - ns, axis=1)
-        sink_v = jnp.roll(sink_v, n_sink - ns, axis=1)
         n_win = jnp.clip(true_len - ns, 0, W)
 
         row_k = jnp.zeros((H, self.s_total, d_pad), win_k.dtype)
@@ -224,6 +228,14 @@ class RaggedSinkKVCache:
         else:
             park = None
         pos = sc + self.write_pos
+        # Sink promotion (matches SinkKVCache.append): a token at global
+        # position < num_sink fills the next sink slot instead of the
+        # ring, so short-prompt slots still pin their first num_sink SEEN
+        # tokens forever. The ring is empty during promotion, so the
+        # write_pos/window_len bookkeeping below is simply held.
+        promote = (self.seen < self.num_sink) if self.num_sink > 0 else None
+        if promote is not None:
+            pos = jnp.where(promote, self.seen, pos)
         if park is not None:
             pos = jnp.where(active, pos, sc + park)
         else:
@@ -257,10 +269,16 @@ class RaggedSinkKVCache:
             buf, s, (0, p)))(self.v_scale, sv, pos)
 
         adv = active.astype(jnp.int32)
+        if promote is not None:
+            ring_adv = adv * (1 - promote.astype(jnp.int32))
+            sink_adv = adv * promote.astype(jnp.int32)
+        else:
+            ring_adv, sink_adv = adv, 0
         return self.replace(
             k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs,
-            write_pos=(self.write_pos + adv) % W,
-            window_len=jnp.minimum(self.window_len + adv, W),
+            sink_len=self.sink_len + sink_adv,
+            write_pos=(self.write_pos + ring_adv) % W,
+            window_len=jnp.minimum(self.window_len + ring_adv, W),
             seen=self.seen + adv)
 
     # -- reads (eager/test helpers) -----------------------------------------

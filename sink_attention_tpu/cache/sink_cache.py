@@ -207,7 +207,31 @@ class SinkKVCache:
             v_new = jnp.pad(v_new, pad)
         ck, sk = self._store(k_new)
         cv, sv = self._store(v_new)
-        pos = self.sink_cap + self.write_pos
+        W = self.window_size
+        if self.num_sink > 0:
+            # Sink promotion: a token at global position < num_sink goes
+            # into the (still unfilled) sink region, not the ring — so a
+            # prompt shorter than num_sink still ends up with its first
+            # num_sink SEEN tokens pinned forever, exactly the
+            # j < num_sink term the prefill kernels implement. (During
+            # promotion the ring is empty, so multi-token decode's
+            # eviction model is unaffected.) The reference cache never
+            # promotes (its sinks are prefill-only), which diverges from
+            # its own kernel mask once the ring wraps.
+            promote = self.seen < self.num_sink
+            pos = jnp.where(promote, self.seen,
+                            self.sink_cap + self.write_pos)
+            new_sink_len = jnp.where(promote, self.sink_len + 1,
+                                     self.sink_len)
+            new_write = jnp.where(promote, self.write_pos,
+                                  (self.write_pos + 1) % W)
+            new_win = jnp.where(promote, self.window_len,
+                                jnp.minimum(self.window_len + 1, W))
+        else:
+            pos = self.sink_cap + self.write_pos
+            new_sink_len = self.sink_len
+            new_write = (self.write_pos + 1) % W
+            new_win = jnp.minimum(self.window_len + 1, W)
         zero = jnp.int32(0)
         new_k = jax.lax.dynamic_update_slice(self.k, ck, (zero, zero, pos, zero))
         new_v = jax.lax.dynamic_update_slice(self.v, cv, (zero, zero, pos, zero))
@@ -215,12 +239,10 @@ class SinkKVCache:
                                               (zero, zero, pos))
         new_vs = jax.lax.dynamic_update_slice(self.v_scale, sv,
                                               (zero, zero, pos))
-        W = self.window_size
         return self.replace(
             k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs,
-            write_pos=(self.write_pos + 1) % W,
-            window_len=jnp.minimum(self.window_len + 1, W),
-            seen=self.seen + 1)
+            sink_len=new_sink_len, write_pos=new_write,
+            window_len=new_win, seen=self.seen + 1)
 
     def append_many(self, k_new: jax.Array, v_new: jax.Array) -> "SinkKVCache":
         """Append N tokens one by one (speculative decode; reference

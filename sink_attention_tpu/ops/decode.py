@@ -41,26 +41,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..cache.sink_cache import SinkKVCache
+from .flash import (LANES, NEG_INF, SUBLANES, _cdiv, _default_interpret,
+                    _round_up)
 
 __all__ = ["sink_decode_attention", "sink_decode_attention_cached",
            "sink_decode_attention_cached_multi",
            "sink_decode_attention_ragged"]
-
-NEG_INF = float("-inf")
-LANES = 128
-SUBLANES = 8
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-def _round_up(a: int, b: int) -> int:
-    return _cdiv(a, b) * b
-
-
-def _default_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _dequant_block(x, quant):
@@ -386,7 +372,13 @@ def sink_decode_attention_cached_multi(q, k_new, v_new,
 
     q_pos = new_pos                                           # [T]
     causal = col_pos[None, :] <= q_pos[:, None]
-    sink = col_pos[None, :] < ns
+    # The always-attended sink term applies only to columns LIVING in the
+    # sink region: a ring-resident token whose global position happens to
+    # be < num_sink (short prompt) is evicted by age in sequential decode,
+    # so keeping it via position would diverge from the single-token path
+    # (caught by code review with a concrete repro).
+    sink = jnp.concatenate(
+        [sink_idx < ns, jnp.zeros((W + T,), bool)])[None, :]
     win = col_pos[None, :] >= q_pos[:, None] - W + 1
     mask = col_valid[None, :] & causal & (sink | win)         # [T, S]
 

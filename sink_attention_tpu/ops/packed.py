@@ -110,11 +110,21 @@ def _pdkdv_q_step(ni, step, qb_sink_end, *, bm, bn, window, n_q_blocks,
     c0 = ni * bn
     qb0 = c0 // bm
     qb_win_end = (c0 + bn - 1 + window - 1) // bm + 1
+    win_end = jnp.minimum(qb_win_end, n_q_blocks)
+    sink_end = jnp.minimum(qb_sink_end, n_q_blocks)
     in_win = step < q_steps_win
-    win_q = qb0 + step
-    win_valid = win_q < jnp.minimum(qb_win_end, n_q_blocks)
-    sink_q = qb_win_end + (step - q_steps_win)
-    sink_valid = sink_q < jnp.minimum(qb_sink_end, n_q_blocks)
+    j = step - q_steps_win
+    win_valid = qb0 + step < win_end
+    sink_valid = qb_win_end + j < sink_end
+    # Freeze the index at the pass's last VALID block once past it: the
+    # index map is what drives Mosaic's DMA pipeline, so an incrementing
+    # index on invalid steps streams a fresh (discarded) q/do/lse/delta
+    # fetch per step — O(n_q_blocks x n_kv_blocks) wasted HBM traffic on
+    # the sink pass (which spans ALL later q blocks). A frozen index
+    # re-requests the same block, which costs nothing.
+    win_q = qb0 + jnp.minimum(step, jnp.maximum(win_end - qb0 - 1, 0))
+    sink_q = qb_win_end + jnp.clip(
+        j, 0, jnp.maximum(sink_end - qb_win_end - 1, 0))
     q_block = jnp.where(in_win, win_q, sink_q)
     valid = jnp.where(in_win, win_valid, sink_valid)
     valid &= (q_block >= 0) & (q_block < n_q_blocks)
@@ -388,11 +398,21 @@ def _packed_meta(positions, n, nq_pad, nk_pad, bm, bn, num_sink):
 
     nkb = nk_pad // bn
     if num_sink > 0:
+        # Tokens before the first position reset (a pack not starting at a
+        # segment start) get seg_id -1; route them to a discarded overflow
+        # bucket — .at[-1] would WRAP to the last segment and silently
+        # inflate its length (and thus the dK/dV sink-pass bound qbe).
         seg_id = jnp.cumsum((positions == 0).astype(jnp.int32), axis=1) - 1
+        sid_safe = jnp.where(seg_id < 0, n, seg_id)
         seg_len = jax.vmap(
-            lambda sid: jnp.zeros(n, jnp.int32).at[sid].add(1))(seg_id)
-        seg_end = sstart + jnp.take_along_axis(seg_len, seg_id, axis=1)
-        sink_end = jnp.where(positions < num_sink, seg_end, 0)
+            lambda sid: jnp.zeros(n + 1, jnp.int32).at[sid].add(1)[:n]
+        )(sid_safe)
+        seg_end = sstart + jnp.take_along_axis(
+            seg_len, jnp.minimum(sid_safe, n - 1), axis=1)
+        # leading (pre-reset) tokens belong to a segment starting outside
+        # this pack: no in-pack sink pass for them
+        sink_end = jnp.where((positions < num_sink) & (seg_id >= 0),
+                             seg_end, 0)
         if nk_pad > n:
             sink_end = jnp.pad(sink_end, ((0, 0), (0, nk_pad - n)))
         qbe = -(-sink_end.reshape(B, nkb, bn).max(axis=-1) // bm)
@@ -465,12 +485,16 @@ def _pfwd_impl(q, k, v, s_aux, positions, num_sink, window, bm, bn,
         _pfwd_kernel, scale=scale, num_sink=num_sink, window=window,
         n_q=N_q, n_kv=N_kv, bm=bm, bn=bn, nsb=nsb, steps=steps,
         use_s_aux=use_s_aux, h_q=H_q)
+    flops = 4 * B * H_q * N_q * min(num_sink + window, N_kv) * d_pad
     params = dict(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H_q, nq_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((B * H_q, SUBLANES, nq_pad), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=B * H_q * N_q * min(
+                num_sink + window, N_kv), bytes_accessed=0),
         interpret=interpret,
     )
     cp = _compiler_params(("parallel", "parallel", "arbitrary"))

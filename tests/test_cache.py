@@ -134,3 +134,72 @@ def test_jit_append_scan():
     cache, _ = jax.lax.scan(step, cache, jnp.arange(3, 9, dtype=jnp.float32))
     assert int(cache.seen) == 9
     np.testing.assert_array_equal(chrono(cache), [0, 1, 5, 6, 7, 8])
+
+
+def test_append_promotes_short_prompt_into_sinks():
+    """A prompt shorter than num_sink leaves sink slots unfilled; decode
+    appends must PROMOTE into them (global position < num_sink) so the
+    first num_sink SEEN tokens stay pinned forever — the j < num_sink
+    term of the kernel mask. (The reference cache never promotes and
+    diverges from its own kernel mask once the ring wraps.)"""
+    B, H, D, ns, W = 1, 2, 4, 4, 3
+    cache = SinkKVCache.init(B, H, D, num_sink=ns, window_size=W,
+                             dtype=jnp.float32)
+    k, v = token_kv(B, H, 2, D)            # prompt = tokens 0, 1
+    cache = cache.prefill(k, v)
+    assert int(cache.sink_len) == 2 and int(cache.window_len) == 0
+    # appends: tokens 2, 3 promote; 4.. go to the ring
+    for t in range(2, 9):
+        kt, vt = token_kv(B, H, 1, D, start=t)
+        cache = cache.append(kt, vt)
+    assert int(cache.sink_len) == ns
+    assert int(cache.window_len) == W
+    # chronological view: sinks 0..3 pinned, ring holds the last W tokens
+    np.testing.assert_array_equal(chrono(cache), [0, 1, 2, 3, 6, 7, 8])
+
+
+def test_ragged_insert_short_prompt_under_jit():
+    """insert() of a prompt shorter than num_sink must place the real
+    tokens at sink slots [0, true_len) under jax.jit — a previous
+    roll+dynamic_slice formulation relied on slice start-clamping that
+    XLA composes away under jit (tokens landed rotated out of the valid
+    region; eager and jit disagreed)."""
+    from sink_attention_tpu.cache.ragged import RaggedSinkKVCache
+
+    B, H, D, ns, W = 2, 2, 4, 4, 6
+    cache = RaggedSinkKVCache.init(B, H, D, num_sink=ns, window_size=W,
+                                   dtype=jnp.float32)
+    kp, vp = token_kv(1, H, 8, D)  # padded buffer; true_len=2
+    kp, vp = kp[0], vp[0]          # [H, N, D]
+
+    def ins(cache, k, v):
+        return cache.insert(jnp.int32(0), k, v, jnp.int32(2))
+
+    c_eager = ins(cache, kp, vp)
+    c_jit = jax.jit(ins)(cache, kp, vp)
+    for c in (c_eager, c_jit):
+        assert int(c.sink_len[0]) == 2
+        lk, _ = c.linearized_kv_slot(0, head_dim=1)
+        np.testing.assert_array_equal(np.asarray(lk)[0, :, 0], [0, 1])
+
+
+def test_ragged_append_promotes_short_prompt():
+    """Ragged cache: the same sink promotion per slot, with an inactive
+    slot left untouched."""
+    from sink_attention_tpu.cache.ragged import RaggedSinkKVCache
+
+    B, H, D, ns, W = 2, 2, 4, 4, 3
+    cache = RaggedSinkKVCache.init(B, H, D, num_sink=ns, window_size=W,
+                                   dtype=jnp.float32)
+    kp, vp = token_kv(1, H, 4, D)
+    cache = cache.insert(jnp.int32(0), kp[0], vp[0], jnp.int32(2))
+    active = jnp.asarray([True, False])
+    for t in range(2, 9):
+        kt, vt = token_kv(B, H, 1, D, start=t)
+        cache = cache.append(kt, vt, active)
+    assert int(cache.sink_len[0]) == ns
+    assert int(cache.window_len[0]) == W
+    assert int(cache.sink_len[1]) == 0 and int(cache.seen[1]) == 0
+    lk, _ = cache.linearized_kv_slot(0, head_dim=1)
+    np.testing.assert_array_equal(np.asarray(lk)[0, :, 0],
+                                  [0, 1, 2, 3, 6, 7, 8])

@@ -212,3 +212,45 @@ def test_multi_token_decode_rollback_semantics():
                                      v_all[:, :, P + t:P + t + 1])
     for a, b in zip(jax.tree.leaves(cache_acc), jax.tree.leaves(cache_seq)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_token_decode_short_prompt_matches_sequential():
+    """Prompt shorter than num_sink: multi-token verification must equal a
+    true sequential single-token decode loop (the mask's always-attend
+    term applies to sink-REGION columns only, and sequential appends
+    promote early tokens into sinks)."""
+    from sink_attention_tpu.ops.decode import (
+        sink_decode_attention_cached, sink_decode_attention_cached_multi)
+
+    B, Hq, Hkv, D = 1, 4, 2, 32
+    ns, W, P, T = 4, 4, 2, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    N = P + T
+    q_all = jax.random.normal(ks[0], (B, Hq, N, D), jnp.float32)
+    k_all = jax.random.normal(ks[1], (B, Hkv, N, D), jnp.float32)
+    v_all = jax.random.normal(ks[2], (B, Hkv, N, D), jnp.float32)
+    aux = jax.random.normal(ks[3], (Hq,), jnp.float32)
+
+    def fresh():
+        c = SinkKVCache.init(B, Hkv, D, num_sink=ns, window_size=W,
+                             dtype=jnp.float32)
+        return c.prefill(k_all[:, :, :P], v_all[:, :, :P])
+
+    out_multi, cache_multi = sink_decode_attention_cached_multi(
+        q_all[:, :, P:], k_all[:, :, P:], v_all[:, :, P:], fresh(),
+        s_aux=aux)
+
+    cache = fresh()
+    seq_outs = []
+    for t in range(P, N):
+        cache = cache.append(k_all[:, :, t:t + 1], v_all[:, :, t:t + 1])
+        seq_outs.append(sink_decode_attention_cached(
+            q_all[:, :, t:t + 1], cache, s_aux=aux))
+    out_seq = jnp.concatenate(seq_outs, axis=2)
+
+    np.testing.assert_allclose(np.asarray(out_multi), np.asarray(out_seq),
+                               atol=1e-5)
+    # post-append state identical too (promotion happened in both)
+    assert int(cache_multi.sink_len) == int(cache.sink_len) == ns
+    np.testing.assert_allclose(np.asarray(cache_multi.k),
+                               np.asarray(cache.k), atol=0)
