@@ -910,9 +910,10 @@ def sink_flash_attention(q, k, v, num_sink: int = 4, window_size: int = 512,
         num_sink: always-attended leading (global) tokens.
         window_size: causal sliding window (includes self).
         s_aux: optional [H_q] learnable per-head sink logit (gpt-oss).
-        q_offset / kv_offset: static global position offsets for chunked use.
-            kv_offset must be a multiple of the KV block size.
-        block_q / block_kv: tile sizes (default 128).
+        q_offset / kv_offset: static global position offsets for chunked
+            use; arbitrary (unaligned offsets cost one extra grid step).
+        block_q / block_kv: tile sizes (default: swept per dtype/head_dim
+            in _block_sizes — 1024x1024 for bf16 D<=128 on TPU).
         interpret: force Pallas interpreter mode (defaults to True off-TPU).
 
     Returns:

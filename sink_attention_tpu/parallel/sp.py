@@ -88,21 +88,24 @@ def sp_sink_flash_attention(q_local, k_local, v_local, num_sink: int = 4,
     """
     B, H_kv, n_local, D = k_local.shape
     n_dev = jax.lax.axis_size(axis_name)
-    r = jax.lax.axis_index(axis_name)
-    q_off = r * n_local
+    q_off = local_position_offset(n_local, axis_name)
 
     halo = _round_up(max(window_size - 1, 0), 128)
     # One-neighbor halo covers at most one shard of left context; a wider
-    # window silently loses cross-shard context, so refuse at trace time
-    # (use parallel.ring.ring_sink_flash_attention for that regime).
-    assert num_sink <= n_local, (
-        f"num_sink={num_sink} exceeds shard length {n_local}: the sink "
-        "broadcast reads shard 0's first num_sink slots; use "
-        "ring_sink_flash_attention (or sharded_sink_flash_attention)")
-    assert window_size - 1 <= n_local, (
-        f"window_size={window_size} exceeds shard length {n_local}: "
-        "halo SP is exact only for window_size - 1 <= n_local; use "
-        "ring_sink_flash_attention instead")
+    # window silently loses cross-shard context, so refuse at trace time.
+    # ValueError, not assert: these guard EXACTNESS and must survive
+    # python -O (use parallel.ring.ring_sink_flash_attention — or the
+    # sharded_sink_flash_attention front door — for the refused regimes).
+    if num_sink > n_local:
+        raise ValueError(
+            f"num_sink={num_sink} exceeds shard length {n_local}: the sink "
+            "broadcast reads shard 0's first num_sink slots; use "
+            "ring_sink_flash_attention (or sharded_sink_flash_attention)")
+    if window_size - 1 > n_local:
+        raise ValueError(
+            f"window_size={window_size} exceeds shard length {n_local}: "
+            "halo SP is exact only for window_size - 1 <= n_local; use "
+            "ring_sink_flash_attention instead")
     halo = min(halo, n_local)  # 128-alignment may round past the shard
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     halo_k = jax.lax.ppermute(k_local[:, :, n_local - halo:], axis_name, perm)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..ops.flash import sink_flash_attention
 
 __all__ = ["ulysses_sink_flash_attention",
+           "scatter_heads", "gather_heads",
            "ulysses_sink_flash_attention_packed",
            "slice_s_aux_for_rank"]
 
@@ -32,6 +33,18 @@ def slice_s_aux_for_rank(s_aux, h_local: int, axis_name: str):
     """
     r = jax.lax.axis_index(axis_name)
     return jax.lax.dynamic_slice_in_dim(s_aux, r * h_local, h_local, axis=0)
+
+
+def scatter_heads(x, axis_name: str):
+    """seq-sharded [B, H, N/sp, D] -> head-sharded [B, H/sp, N, D]."""
+    return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                              tiled=True)
+
+
+def gather_heads(x, axis_name: str):
+    """head-sharded [B, H/sp, N, D] -> seq-sharded [B, H, N/sp, D]."""
+    return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                              tiled=True)
 
 
 def ulysses_sink_flash_attention(q_local, k_local, v_local,
@@ -54,18 +67,9 @@ def ulysses_sink_flash_attention(q_local, k_local, v_local,
     H_kv = k_local.shape[1]
     assert H_q % sp == 0 and H_kv % sp == 0, (H_q, H_kv, sp)
 
-    # seq-sharded [B, H, N/sp, D] -> head-sharded [B, H/sp, N, D]
-    def scatter_heads(x):
-        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
-                                  tiled=True)
-
-    def gather_heads(x):
-        return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
-                                  tiled=True)
-
-    q = scatter_heads(q_local)
-    k = scatter_heads(k_local)
-    v = scatter_heads(v_local)
+    q = scatter_heads(q_local, axis_name)
+    k = scatter_heads(k_local, axis_name)
+    v = scatter_heads(v_local, axis_name)
 
     aux_local = None
     if s_aux is not None:
@@ -74,7 +78,7 @@ def ulysses_sink_flash_attention(q_local, k_local, v_local,
     out = sink_flash_attention(q, k, v, num_sink=num_sink,
                                window_size=window_size, s_aux=aux_local,
                                interpret=interpret)
-    return gather_heads(out)
+    return gather_heads(out, axis_name)
 
 
 def ulysses_sink_flash_attention_packed(q_local, k_local, v_local, positions,
@@ -102,17 +106,9 @@ def ulysses_sink_flash_attention_packed(q_local, k_local, v_local, positions,
     assert H_q % sp == 0 and H_kv % sp == 0, (H_q, H_kv, sp)
     assert positions.shape == (B, n_local * sp), positions.shape
 
-    def scatter_heads(x):
-        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
-                                  tiled=True)
-
-    def gather_heads(x):
-        return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
-                                  tiled=True)
-
-    q = scatter_heads(q_local)
-    k = scatter_heads(k_local)
-    v = scatter_heads(v_local)
+    q = scatter_heads(q_local, axis_name)
+    k = scatter_heads(k_local, axis_name)
+    v = scatter_heads(v_local, axis_name)
 
     aux_local = None
     if s_aux is not None:
@@ -121,4 +117,4 @@ def ulysses_sink_flash_attention_packed(q_local, k_local, v_local, positions,
     out = sink_flash_attention_packed(
         q, k, v, positions, num_sink=num_sink, window_size=window_size,
         s_aux=aux_local, interpret=interpret)
-    return gather_heads(out)
+    return gather_heads(out, axis_name)
