@@ -49,7 +49,10 @@ def qkv(N, dtype=jnp.bfloat16):
 def prefill_table():
     print("\n=== Prefill forward (bf16, GQA 32/8, D=128, sink=4, W=4096) ===")
     print(f"{'N':>7} {'ms':>8} {'TFLOP/s':>9} {'MFU%':>6} {'ref H200 ms':>12}")
-    for N in [4096, 8192, 16384, 32768]:
+    # 64K/128K rows: the long-context regime where O(N*(sink+W)) wins —
+    # the reference's scaling claim (README.md:246-253) is only *projected*
+    # past 32K; here it is measured.
+    for N in [4096, 8192, 16384, 32768, 65536, 131072]:
         q, k, v = qkv(N)
         dt = time_chained(
             lambda q: sink_flash_attention(q, k, v, NS, W), q)
@@ -104,7 +107,7 @@ def baseline_table():
           f"{'ours+bwd':>9} {'splash+bwd':>11} {'speedup':>8}")
     RESULTS["baseline"] = []
     scale = 1.0 / (D ** 0.5)
-    for N in [4096, 8192, 16384, 32768]:
+    for N in [4096, 8192, 16384, 32768, 65536]:
         q, k, v = qkv(N)
         rep = HQ // HKV
         k_e = jnp.repeat(k, rep, axis=1)
