@@ -120,6 +120,17 @@ def ring_sink_flash_attention(q_local, k_local, v_local, num_sink: int = 4,
     for step in range(steps):
         chunk_id = (r - step) % n_dev  # which global chunk we hold now
         kv_off = chunk_id * n_local
+        # Double-buffered schedule: issue the NEXT hop's ppermute BEFORE
+        # this step's chunk kernel. The permute input is (k_cur, v_cur) —
+        # never the kernel output — so there is no data dependence and
+        # XLA's latency-hiding scheduler overlaps the ICI transfer with
+        # the attention compute (the BASELINE north star: "ring KV
+        # collectives over ICI overlapped with compute"). Program order
+        # here is what gives the scheduler room; tests pin the jaxpr
+        # ordering (test_parallel.py::test_ring_permute_precedes_kernel).
+        if step + 1 < steps:
+            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         o_p, lse_p = sink_flash_attention_chunk(
             q_local, k_cur, v_cur,
             jnp.stack([q_off, kv_off]).astype(jnp.int32),
@@ -127,8 +138,7 @@ def ring_sink_flash_attention(q_local, k_local, v_local, num_sink: int = 4,
         outs.append(o_p)
         lses.append(lse_p)
         if step + 1 < steps:
-            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            k_cur, v_cur = k_nxt, v_nxt
 
     if steps < n_dev and num_sink > 0:
         sink_k, sink_v = broadcast_sink_kv(k_local, v_local, num_sink,

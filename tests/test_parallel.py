@@ -341,6 +341,62 @@ def test_ring_skip_ahead_step_count():
                                rtol=1e-3)
 
 
+def test_ring_permute_precedes_kernel():
+    """Double-buffered ring schedule (VERDICT r2 item 4): step s+1's
+    ppermute of (k, v) must be issued BEFORE step s's chunk kernel in
+    program order, so XLA's latency-hiding scheduler can overlap the ICI
+    transfer with the attention compute. Pinned by walking the jaxpr
+    equation order: each ppermute pair appears before the chunk-kernel
+    call of the same step, and the permute inputs are never kernel
+    outputs (BASELINE north star: ring KV collectives overlapped with
+    compute)."""
+    n_dev = 8
+    mesh = seq_mesh(n_dev)
+    B, H, N, D = 1, 2, 1024, 64
+    window = 256  # 3 ring steps -> 2 ppermute pairs
+    q, k, v = make_qkv(jax.random.PRNGKey(21), B, H, H, N, D)
+
+    fn = jax.shard_map(
+        lambda q, k, v: ring_sink_flash_attention(
+            q, k, v, num_sink=4, window_size=window, axis_name="seq"),
+        mesh=mesh, in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False)
+
+    events = []  # ordered ("perm" | "kern") stream
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            name = eqn.primitive.name
+            if name == "ppermute":
+                events.append("perm")
+            elif "custom_vjp" in name or "pallas" in name:
+                events.append("kern")
+            else:
+                for val in eqn.params.values():
+                    for j in jax.tree_util.tree_leaves(
+                            val, is_leaf=lambda x: hasattr(x, "eqns")):
+                        if hasattr(j, "eqns"):
+                            walk(j)
+                        elif hasattr(j, "jaxpr"):
+                            walk(j.jaxpr)
+
+    closed = jax.make_jaxpr(fn)(q, k, v)
+    walk(closed.jaxpr)
+
+    from sink_attention_tpu.parallel.ring import ring_num_steps
+    steps = ring_num_steps(n_dev, N // n_dev, window)
+    assert steps == 3
+    kerns = [i for i, e in enumerate(events) if e == "kern"]
+    perms = [i for i, e in enumerate(events) if e == "perm"]
+    # `steps` window kernels + 1 sink-phase kernel; 2 ppermutes per hop
+    assert len(kerns) == steps + 1 and len(perms) == 2 * (steps - 1), events
+    # step s (s < last): its next-hop ppermute pair precedes its kernel
+    for s in range(steps - 1):
+        assert perms[2 * s] < kerns[s] and perms[2 * s + 1] < kerns[s], (
+            f"step {s}: permute after kernel — schedule not double-buffered"
+            f" ({events})")
+
+
 def test_ring_skip_ahead_gradients():
     """Skip-ahead ring (short window over many shards, sink phase active
     on far devices) must still produce exact gradients, including through
