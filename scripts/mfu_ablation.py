@@ -243,11 +243,13 @@ def _mask_stage_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
     if stage == "maskadd":
         @pl.when(valid & diag)
         def _diag():
-            softmax_update(scores() + mask_ref[0], guarded=True)
+            softmax_update(scores() + mask_ref[0].astype(jnp.float32),
+                           guarded=True)
 
         @pl.when(valid & winstart)
         def _win():
-            softmax_update(scores() + mask_ref[1], guarded=True)
+            softmax_update(scores() + mask_ref[1].astype(jnp.float32),
+                           guarded=True)
     else:  # masksel
         @pl.when(valid & diag)
         def _diag():
@@ -308,8 +310,9 @@ def run_ablation(q, k, v, stage):
         ii = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1)
         if stage == "maskadd":
-            bias_c = jnp.where(ii >= jj, 0.0, NEG_INF).astype(jnp.float32)
-            bias_w = jnp.where(ii >= jj, NEG_INF, 0.0).astype(jnp.float32)
+            # bf16 bias tiles (fp32 pair OOMs the 16M VMEM at 1024x1024)
+            bias_c = jnp.where(ii >= jj, 0.0, NEG_INF).astype(jnp.bfloat16)
+            bias_w = jnp.where(ii >= jj, NEG_INF, 0.0).astype(jnp.bfloat16)
             extra = [jnp.stack([bias_c, bias_w])]
             in_specs.append(pl.BlockSpec((2, BM, BN),
                                          lambda bh, qi, s, off: (0, 0, 0)))
