@@ -253,6 +253,31 @@ class SinkKVCache:
             cache = cache.append(k_new[:, :, i:i + 1], v_new[:, :, i:i + 1])
         return cache
 
+    def append_many_counted(self, k_new: jax.Array, v_new: jax.Array,
+                            count) -> "SinkKVCache":
+        """Append T tokens but advance state by only ``count`` (traced,
+        0 <= count <= T) — the on-device speculative-decoding commit.
+
+        The data writes are unconditional (static shapes); tokens at
+        i >= count all land on the frozen next write slot, which the next
+        real append overwrites before anything can read it (decode
+        attention only reads slots inside the committed window/sink
+        lengths). Only the scalar ring state (write_pos, window_len,
+        sink_len, seen) is gated per token, so rejecting draft tokens
+        costs four scalar selects instead of a cache copy or a re-append
+        forward pass."""
+        n = k_new.shape[2]
+        cache = self
+        for i in range(n):
+            nxt = cache.append(k_new[:, :, i:i + 1], v_new[:, :, i:i + 1])
+            keep = jnp.asarray(i, jnp.int32) < count
+            cache = nxt.replace(
+                sink_len=jnp.where(keep, nxt.sink_len, cache.sink_len),
+                write_pos=jnp.where(keep, nxt.write_pos, cache.write_pos),
+                window_len=jnp.where(keep, nxt.window_len, cache.window_len),
+                seen=jnp.where(keep, nxt.seen, cache.seen))
+        return cache
+
     def update(self, k_new: jax.Array, v_new: jax.Array) -> "SinkKVCache":
         """Prefill on first call (seen == 0 must hold statically via N>1
         convention), decode append otherwise — HF-style dispatch on N."""

@@ -163,93 +163,122 @@ def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
                          dtype: Any = jnp.bfloat16,
                          quant: Optional[str] = None,
                          interpret: Optional[bool] = None):
-    """Greedy speculative decoding: a small draft model proposes
-    ``num_draft_tokens`` greedily; the target model verifies the whole
-    draft in ONE fused multi-token attention call
-    (``ops.sink_decode_attention_cached_multi``) and accepts the longest
-    prefix that matches its own greedy choices, plus one free token from
-    the verification logits. Output is IDENTICAL to target-only greedy
-    decoding — the draft only changes how many target forward passes are
-    needed. Rollback is free: the rolling caches are immutable pytrees,
-    so rejecting tokens = keeping the pre-append cache and appending the
-    accepted prefix.
+    """Greedy speculative decoding, fully on-device (zero host syncs).
 
-    The reference supports the *cache* side of this (multi-token
-    append, cache.py:176-183) but has no speculative loop. Returns
-    (tokens [B, max_new_tokens], acceptance_rate).
+    Each round, inside one ``lax.while_loop`` iteration:
+
+    1. the draft model proposes ``num_draft_tokens`` greedily via
+       ``lax.scan`` (small-model decode steps on a throwaway fork of the
+       immutable draft cache);
+    2. the target verifies the whole draft in ONE fused multi-token
+       attention call (``ops.sink_decode_attention_cached_multi``) against
+       the PRE-append cache;
+    3. the accepted prefix length ``n_acc`` (longest match with the
+       target's own greedy choices) is a cumprod reduce, and commitment is
+       ``SinkKVCache.append_many_counted`` — the verification KVs are
+       written with the ring state advanced by only ``n_acc + 1``, so
+       rejecting tokens costs four scalar selects per token instead of
+       the re-append target pass the old host-driven version paid;
+    4. the draft cache commits the SAME accepted tokens via one extra
+       (cheap) draft multi-token pass, keeping it exactly in sync.
+
+    Output is IDENTICAL to target-only greedy decoding — the draft only
+    changes how many target passes are needed. Exactly one target pass per
+    round, so the returned acceptance rate (emitted tokens per target
+    pass) is also the target-pass speedup factor. (Parity caveat shared
+    with every speculative scheme: the verification forward uses the fused
+    multi-token attention while plain decode uses the single-token kernel;
+    in bf16, logit near-ties can argmax differently between the two, and
+    either choice is then a valid greedy continuation. In fp32 /
+    ``jax.default_matmul_precision('highest')`` parity is exact.)
+
+    The reference supports the *cache* side of this (multi-token append,
+    cache.py:176-183) but has no speculative loop. Returns
+    (tokens [B, max_new_tokens], acceptance_rate [scalar]).
     """
     from ..models.model import forward_decode, forward_prefill, make_caches
-    import numpy as np
 
     B, N = input_ids.shape
     assert B == 1, "speculative loop is per-sequence (B=1)"
-    tcaches = make_caches(cfg_target, B, N + max_new_tokens + num_draft_tokens,
-                          dtype=dtype, quant=quant)
-    dcaches = make_caches(cfg_draft, B, N + max_new_tokens + num_draft_tokens,
-                          dtype=dtype, quant=quant)
+    K = min(num_draft_tokens, max_new_tokens)
+    buf_len = max_new_tokens + K  # rounds may overshoot; sliced at the end
+    tcaches = make_caches(cfg_target, B, N + buf_len, dtype=dtype,
+                          quant=quant)
+    dcaches = make_caches(cfg_draft, B, N + buf_len, dtype=dtype,
+                          quant=quant)
     tlogits, tcaches = forward_prefill(params_target, cfg_target, input_ids,
                                        tcaches, interpret=interpret)
     _, dcaches = forward_prefill(params_draft, cfg_draft, input_ids,
                                  dcaches, interpret=interpret)
-    tok = int(jnp.argmax(tlogits[0, -1]))
+    first = jnp.argmax(tlogits[:, -1], axis=-1).astype(jnp.int32)  # [B]
 
-    out = [tok]
-    pos = N
-    n_target_calls = 0
-    while len(out) < max_new_tokens:
-        k = min(num_draft_tokens, max_new_tokens - len(out))
-        # --- draft proposes k tokens (sequential small-model decodes) ---
-        draft = []
-        dc = dcaches
-        cur = tok
-        for i in range(k):
-            dl, dc = forward_decode(params_draft, cfg_draft,
-                                    jnp.array([[cur]]), dc, pos + i,
-                                    interpret=interpret)
-            cur = int(jnp.argmax(dl[0, -1]))
-            draft.append(cur)
-        # --- target verifies [tok, draft[:-1]] in one multi-token step ---
-        # target consumes tokens [tok] + draft[:k-1] (k inputs) and emits
-        # its greedy choice after each — compare to draft.
-        inputs = jnp.array([[tok] + draft[:-1]], jnp.int32)
-        vlogits, tcaches_next = _forward_multi(
-            params_target, cfg_target, inputs, tcaches, pos,
-            interpret=interpret)
-        n_target_calls += 1
-        greedy = [int(t) for t in np.asarray(jnp.argmax(vlogits[0], -1))]
-        n_acc = 0
-        while n_acc < k - 1 and greedy[n_acc] == draft[n_acc]:
-            n_acc += 1
-        accepted = draft[:n_acc] + [greedy[n_acc]]
-        # roll the target cache back to the accepted prefix: keep the
-        # pre-verify cache and append only the accepted inputs' KV — done
-        # by re-running the multi-step on the accepted inputs only.
-        if n_acc + 1 == k:
-            tcaches = tcaches_next  # everything accepted: keep as-is
+    if max_new_tokens == 1:
+        return first[:, None], jnp.float32(1.0)
+
+    def round_body(carry):
+        tcaches, dcaches, tok, pos, emitted, out_buf, rounds = carry
+
+        # 1. draft proposes K tokens
+        def dstep(c, _):
+            dc, cur, p = c
+            dl, dc = forward_decode(params_draft, cfg_draft, cur[:, None],
+                                    dc, p, interpret=interpret)
+            nxt = jnp.argmax(dl[:, -1], axis=-1).astype(jnp.int32)
+            return (dc, nxt, p + 1), nxt
+
+        _, draft_kb = jax.lax.scan(dstep, (dcaches, tok, pos), length=K)
+        draft = draft_kb[:, 0]  # [K] (B == 1)
+
+        # 2. target verifies [tok, draft[:-1]] in one multi-token pass
+        inputs = jnp.concatenate([tok, draft[:K - 1]])[None]  # [1, K]
+        vlogits, tkvs = _forward_multi(params_target, cfg_target, inputs,
+                                       tcaches, pos, interpret=interpret)
+        greedy = jnp.argmax(vlogits[0], axis=-1).astype(jnp.int32)  # [K]
+
+        # 3. longest accepted prefix + one free token from verification
+        if K > 1:
+            eq = (greedy[:K - 1] == draft[:K - 1]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(eq))
         else:
-            _, tcaches = _forward_multi(
-                params_target, cfg_target, inputs[:, :n_acc + 1], tcaches,
-                pos, interpret=interpret)
-            n_target_calls += 1  # the rollback re-append is a target pass
-        # draft cache: same treatment (cheap — draft is small); re-sync by
-        # appending accepted tokens it hasn't seen via plain decodes.
-        dcaches = dc if n_acc == k - 1 else dcaches
-        if n_acc < k - 1:
-            for i, t in enumerate([tok] + accepted[:-1]):
-                _, dcaches = forward_decode(params_draft, cfg_draft,
-                                            jnp.array([[t]]), dcaches,
-                                            pos + i, interpret=interpret)
-        out.extend(accepted)
-        pos += n_acc + 1
-        tok = accepted[-1]
-    rate = (len(out) - 1) / max(n_target_calls, 1)
-    return jnp.array([out[:max_new_tokens]], jnp.int32), rate
+            n_acc = jnp.int32(0)
+        count = n_acc + 1
+        idx = jnp.arange(K, dtype=jnp.int32)
+        accepted = jnp.where(idx < n_acc, draft,
+                             greedy[jnp.minimum(n_acc, K - 1)])  # [K]
+        tcaches = [c.append_many_counted(k, v, count)
+                   for c, (k, v) in zip(tcaches, tkvs)]
+
+        # 4. draft commit: the accepted inputs through one draft multi pass
+        dinputs = jnp.concatenate([tok, accepted[:K - 1]])[None]
+        _, dkvs = _forward_multi(params_draft, cfg_draft, dinputs, dcaches,
+                                 pos, interpret=interpret)
+        dcaches = [c.append_many_counted(k, v, count)
+                   for c, (k, v) in zip(dcaches, dkvs)]
+
+        out_buf = jax.lax.dynamic_update_slice(out_buf, accepted, (emitted,))
+        tok = accepted[jnp.minimum(n_acc, K - 1)][None]
+        return (tcaches, dcaches, tok, pos + count, emitted + count,
+                out_buf, rounds + 1)
+
+    def cond(carry):
+        return carry[4] < max_new_tokens - 1
+
+    out_buf = jnp.zeros((buf_len,), jnp.int32)
+    carry = (tcaches, dcaches, first, jnp.int32(N), jnp.int32(0), out_buf,
+             jnp.int32(0))
+    carry = jax.lax.while_loop(cond, round_body, carry)
+    _, _, _, _, emitted, out_buf, rounds = carry
+    toks = jnp.concatenate([first, out_buf[:max_new_tokens - 1]])[None]
+    rate = emitted.astype(jnp.float32) / jnp.maximum(rounds, 1)
+    return toks, rate
 
 
 def _forward_multi(params, cfg, input_ids, caches, start_pos,
                    interpret=None):
-    """Target-model forward over T tokens against rolling caches using the
-    fused multi-token decode attention; returns (logits [B,T,V], caches)."""
+    """Model forward over T tokens against rolling caches using the fused
+    multi-token decode attention. The caches are NOT advanced — returns
+    (logits [B,T,V], per-layer [(k, v)]) so the caller commits the
+    accepted prefix via ``SinkKVCache.append_many_counted``."""
     from ..models.model import (_embed_lookup, _mm, _out_proj, _qkv,
                                 _s_aux, apply_rope, mlp_block, rms_norm,
                                 rope_cos_sin)
@@ -260,19 +289,19 @@ def _forward_multi(params, cfg, input_ids, caches, start_pos,
     pos = start_pos + jnp.arange(T)
     cos, sin = rope_cos_sin(cfg, pos)
 
-    new_caches = []
+    kvs = []
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp["attn"], cfg, h)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn, cache = sink_decode_attention_cached_multi(
+        attn, _ = sink_decode_attention_cached_multi(
             q, k, v, caches[li], s_aux=_s_aux(lp, cfg))
-        new_caches.append(cache)
+        kvs.append((k, v))
         x = x + _out_proj(lp["attn"], cfg, attn)
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         x = x + mlp_block(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _mm(x, params["lm_head"])
-    return logits, new_caches
+    return logits, kvs
