@@ -80,6 +80,8 @@ def greedy_generate(params, cfg: ModelConfig, input_ids,
 def beam_generate(params, cfg: ModelConfig, input_ids,
                   max_new_tokens: int, num_beams: int = 4,
                   length_penalty: float = 1.0,
+                  eos_id: Optional[int] = None,
+                  pad_id: int = 0,
                   dtype: Any = jnp.bfloat16,
                   quant: Optional[str] = None,
                   interpret: Optional[bool] = None):
@@ -92,9 +94,14 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
 
     input_ids: [B, N] -> (tokens [B, max_new_tokens], scores [B]) of the
     best beam per batch row (greedy-equivalent at num_beams=1). Beams are
-    flattened into the cache batch dim (B * num_beams slots); finished
-    beams are not frozen early (no EOS) — scores use ``length_penalty``
-    a la HF (sum logp / T**length_penalty).
+    flattened into the cache batch dim (B * num_beams slots).
+
+    With ``eos_id`` set, a beam that emits EOS is *frozen*: its score
+    stops accumulating (it competes as a completed hypothesis), it only
+    "extends" with ``pad_id``, its cache slot is its own identity in the
+    reorder gather, and its length is pinned for the final HF-style
+    ``score / len**length_penalty`` normalization. Without ``eos_id`` the
+    behavior is unchanged (all beams run max_new_tokens).
     """
     B, N = input_ids.shape
     V = cfg.vocab_size
@@ -109,6 +116,10 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
     top0 = jax.lax.top_k(logp0, K)  # values [B,K], ids [B,K]
     beam_scores = top0[0]                      # [B, K]
     beam_tok = top0[1].astype(jnp.int32)       # [B, K]
+    if eos_id is not None:
+        finished0 = beam_tok == eos_id
+    else:
+        finished0 = jnp.zeros((B, K), bool)
 
     def tile_beams(x):
         # [B, ...] -> [B*K, ...] (beam-major within each row)
@@ -118,18 +129,31 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
         lambda l: tile_beams(l) if getattr(l, "ndim", 0) >= 1 else l, c)
         for c in caches]
 
+    # a frozen beam's only candidate: pad_id at logp 0 (score unchanged)
+    frozen_logp = jnp.full((V,), -jnp.inf, jnp.float32).at[pad_id].set(0.0)
+
     def step(carry, _):
-        caches, toks, scores, pos, seqs, t = carry
-        # toks: [B*K]; scores: [B, K]; seqs: [B, K, max_new_tokens]
+        caches, toks, scores, pos, seqs, fin, glen, t = carry
+        # toks: [B*K]; scores/fin/glen: [B, K]; seqs: [B, K, T]
         logits, caches = forward_decode(params, cfg, toks[:, None], caches,
                                         pos, interpret=interpret)
         logp = jax.nn.log_softmax(
             logits[:, -1].astype(jnp.float32), -1).reshape(B, K, V)
+        if eos_id is not None:
+            logp = jnp.where(fin[..., None], frozen_logp[None, None], logp)
         cand = scores[..., None] + logp               # [B, K, V]
         flat = cand.reshape(B, K * V)
         new_scores, flat_idx = jax.lax.top_k(flat, K)  # [B, K]
         src_beam = (flat_idx // V).astype(jnp.int32)   # [B, K]
         new_tok = (flat_idx % V).astype(jnp.int32)     # [B, K]
+        was_fin = jnp.take_along_axis(fin, src_beam, axis=1)
+        if eos_id is not None:
+            new_fin = was_fin | (new_tok == eos_id)
+            new_tok = jnp.where(was_fin, pad_id, new_tok)
+        else:
+            new_fin = was_fin
+        glen = jnp.take_along_axis(glen, src_beam, axis=1) + jnp.where(
+            was_fin, 0, 1)
         # reorder caches and histories by source beam (flattened indices)
         gather_idx = (jnp.arange(B, dtype=jnp.int32)[:, None] * K +
                       src_beam).reshape(-1)            # [B*K]
@@ -138,18 +162,19 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
         seqs = jax.lax.dynamic_update_index_in_dim(
             seqs, new_tok, t, axis=2)
         return ((caches, new_tok.reshape(-1), new_scores, pos + 1, seqs,
-                 t + 1), None)
+                 new_fin, glen, t + 1), None)
 
     seqs0 = jnp.zeros((B, K, max_new_tokens), jnp.int32)
     seqs0 = jax.lax.dynamic_update_index_in_dim(seqs0, beam_tok, 0, axis=2)
+    glen0 = jnp.ones((B, K), jnp.int32)
     carry = (caches, beam_tok.reshape(-1), beam_scores, jnp.int32(N), seqs0,
-             jnp.int32(1))
+             finished0, glen0, jnp.int32(1))
     if max_new_tokens > 1:
-        (caches, _, beam_scores, _, seqs, _), _ = jax.lax.scan(
+        (caches, _, beam_scores, _, seqs, _, glen, _), _ = jax.lax.scan(
             step, carry, length=max_new_tokens - 1)
     else:
-        seqs = seqs0
-    final = beam_scores / (float(max_new_tokens) ** length_penalty)
+        seqs, glen = seqs0, glen0
+    final = beam_scores / (glen.astype(jnp.float32) ** length_penalty)
     best = jnp.argmax(final, axis=1)                   # [B]
     best_seq = jnp.take_along_axis(
         seqs, best[:, None, None], axis=1)[:, 0]       # [B, T]

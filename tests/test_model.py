@@ -220,3 +220,68 @@ def test_speculative_generate_equals_greedy():
     toks2, _ = speculative_generate(params, params_d, cfg, cfg_d, ids, T,
                                     num_draft_tokens=4, dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(toks2), ref)
+
+
+def test_beam_search_eos_freezing():
+    """With eos_id set, a beam that emits EOS freezes: pad-only extension,
+    score stops accumulating, and final normalization uses the frozen
+    length. Pinned against a teacher-forced step-by-step reference that
+    implements the same frozen-hypothesis semantics (prefix rescoring via
+    forward_prefill — no cache machinery), so cache reorder + freeze logic
+    in the jitted scan is what's under test."""
+    from sink_attention_tpu.serving import beam_generate
+
+    cfg = ModelConfig.tiny(num_layers=2, vocab_size=32)
+    params = init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 6), 0, 32)
+    T, K, PAD = 8, 3, 0
+
+    # choose EOS = a token greedy actually emits mid-sequence, so freezing
+    # fires during the run
+    from sink_attention_tpu.serving import greedy_generate
+    g = np.asarray(greedy_generate(params, cfg, ids, max_new_tokens=T,
+                                   dtype=jnp.float32))[0]
+    eos = int(g[2])
+
+    best_seq, best_score = beam_generate(
+        params, cfg, ids, max_new_tokens=T, num_beams=K, eos_id=eos,
+        pad_id=PAD, dtype=jnp.float32)
+    best_seq = np.asarray(best_seq)[0]
+    best_score = float(np.asarray(best_score)[0])
+
+    # ---- teacher-forced reference with identical frozen semantics ----
+    def step_logp(prefix):
+        full = jnp.concatenate([ids[0], jnp.asarray(prefix, jnp.int32)])
+        logits, _ = forward_prefill(params, cfg, full[None])
+        return np.asarray(jax.nn.log_softmax(
+            logits[0, -1].astype(jnp.float32)))
+
+    logits0, _ = forward_prefill(params, cfg, ids)
+    lp0 = np.asarray(jax.nn.log_softmax(logits0[0, -1].astype(jnp.float32)))
+    order = np.argsort(-lp0, kind="stable")[:K]
+    beams = [([int(t)], float(lp0[int(t)]), int(t) == eos) for t in order]
+    for _ in range(T - 1):
+        cand = []
+        for bi, (toks, sc, fin) in enumerate(beams):
+            if fin:
+                cand.append((sc, bi, PAD, True))
+            else:
+                lp = step_logp(toks)
+                for v in range(32):
+                    cand.append((sc + float(lp[v]), bi, v, v == eos))
+        cand.sort(key=lambda c: (-c[0], c[1]))
+        beams = [(beams[bi][0] + [tok], sc, beams[bi][2] or fin)
+                 for sc, bi, tok, fin in cand[:K]]
+    def norm(b):
+        toks, sc, fin = b
+        n = len([t for t in toks]) if not fin else (
+            next(i for i, t in enumerate(toks) if t == eos) + 1)
+        return sc / n
+    ref_best = max(beams, key=norm)
+    assert list(best_seq) == ref_best[0], (list(best_seq), ref_best[0])
+    np.testing.assert_allclose(best_score, norm(ref_best), rtol=1e-4)
+
+    # property: everything after the first EOS is pad
+    if eos in best_seq[:-1]:
+        e = list(best_seq).index(eos)
+        assert all(t == PAD for t in best_seq[e + 1:]), best_seq
