@@ -42,8 +42,9 @@ def _mm(x: jax.Array, w) -> jax.Array:
 
     int8: ``(x @ q.astype(x.dtype)) * s`` — XLA fuses the int8->bf16
     convert into the dot's operand read, so only int8 bytes cross HBM
-    (measured ~83% of the int8 roofline). int4: the Pallas packed-nibble
-    kernel (ops.int4) — XLA has no packed-int4 dot.
+    (measured ~83% of the int8 roofline). int4: XLA-fused nibble decode
+    (ops.int4) — at decode shapes it beats the int8 path in wall-clock
+    while moving half the bytes (see ops/int4.py module doc).
     """
     if is_quantized4(w):
         from ..ops.int4 import int4_matmul
@@ -59,8 +60,8 @@ def _expert_mm(x: jax.Array, w, eq: str) -> jax.Array:
     """Einsum over stacked expert weights, plain or quantized.
 
     Supports the two MoE contractions "th,ehi->eti" (shared activations)
-    and "eti,eih->eth" (per-expert activations); int4 weights route to the
-    Pallas experts kernel, which handles both via x's rank.
+    and "eti,eih->eth" (per-expert activations); int4 weights route to
+    ops.int4.int4_matmul_experts, which handles both via x's rank.
     """
     if is_quantized4(w):
         from ..ops.int4 import int4_matmul_experts

@@ -219,7 +219,7 @@ def quantize_weight_int4(w: jax.Array, contract_axis: int = -2,
                          scale_dtype: Any = jnp.float32) -> dict:
     """INT4 quantize+pack (ops.int4.pack_int4 nibble format): ``{"q4":
     packed int8 [.., K/2, ..], "s": per-output-channel scales}``. Consumed
-    by the Pallas int4 matmul kernels via ``model._mm``/``_expert_mm``."""
+    by the XLA-fused int4 matmuls via ``model._mm``/``_expert_mm``."""
     from ..ops.int4 import pack_int4
 
     packed, scale = pack_int4(w, contract_axis)

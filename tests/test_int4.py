@@ -1,8 +1,8 @@
-"""Packed-INT4 weight matmul kernels (ops.int4) + int4 model integration.
+"""Packed-INT4 weight matmul ops (ops.int4) + int4 model integration.
 
 TPU-build-only capability: full gpt-oss-20b is ~21 GB in int8 (over a
-16 GB v5e) but ~10.5 GB in int4. XLA has no packed-int4 dot, so the
-Pallas kernels own the nibble format.
+16 GB v5e) but ~10.5 GB in int4. XLA has no packed-int4 dot, so
+ops.int4 owns the nibble format (decoded via XLA-fused shifts).
 """
 
 import jax
@@ -18,6 +18,7 @@ from sink_attention_tpu.ops.int4 import (
 
 
 def unpack_ref(packed, scale, contract_axis=-2):
+    # nibble format: byte = (hi << 4) | (lo & 0xF), halves in [-7, 7]
     lo = (packed.astype(jnp.int32) << 28) >> 28
     hi = packed.astype(jnp.int32) >> 4
     ca = contract_axis % packed.ndim
