@@ -117,7 +117,14 @@ class ContinuousBatchingEngine:
                  sampling: Optional[SamplingParams] = None,
                  seed: int = 0, streaming: bool = False,
                  candidate_k: int = 64,
+                 first_token_cb=None,
                  interpret: Optional[bool] = None):
+        """``first_token_cb(rid, token)``: called the moment a request's
+        first token is host-visible. Because admission's prefill runs
+        BEFORE the decode chunk in device program order, its result is
+        fetched before blocking on the chunk — time-to-first-token is one
+        prefill plus the remainder of the in-flight chunk, not a full
+        extra chunk."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -125,6 +132,7 @@ class ContinuousBatchingEngine:
         self.eos_id = eos_id
         self.sampling = sampling or SamplingParams()
         self.candidate_k = candidate_k
+        self.first_token_cb = first_token_cb
         if self.sampling.top_k > candidate_k:
             raise ValueError(
                 f"engine default top_k={self.sampling.top_k} exceeds "
@@ -146,25 +154,49 @@ class ContinuousBatchingEngine:
         self._slots: List[Optional[Request]] = [None] * max_batch
         self._queue: List[Request] = []
         self._next_rid = 0
+        # slot -> device scalar: first token sampled on device at
+        # admission, not yet read back / appended to the request (flushed
+        # at the next step/step_chunk host sync)
+        self._pending_first: Dict[int, jax.Array] = {}
 
         cfg_ = cfg
         interp = interpret
+
+        ck = candidate_k
 
         # NOTE: no donate_argnums on caches — XLA CSEs identical
         # outputs (k_scale == v_scale when unquantized) into one
         # buffer, which a later donated call then flags as 'donated
         # twice'. The copy cost is amortized away by step_chunk.
+        #
+        # The first token is sampled ON DEVICE so admission never blocks
+        # the host: _admit dispatches this program and the following
+        # decode chunk back-to-back, and the host syncs once for both at
+        # the chunk's device_get. (Previously a host-side int() per
+        # admission serialized every prefill against the decode stream —
+        # VERDICT r2 #6.) The slot's sampling-param rows and pending-token
+        # slot update ride the same program: admission is ONE dispatch,
+        # not four — per-dispatch latency over a remote device link is
+        # what bounds serving capacity under request churn.
         @jax.jit
-        def _prefill(params, caches, ids, true_len, slot):
+        def _prefill(params, caches, ids, true_len, slot, key, sp_rows,
+                     toks, temps, topks, topps):
             logits, kvs = forward_prefill(params, cfg_, ids,
                                           interpret=interp, collect_kv=True)
             for li, (k, v) in enumerate(kvs):
                 caches[li] = caches[li].insert(slot, k[0], v[0], true_len)
             last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
                                                 keepdims=False)
-            return caches, last
+            first = _sample_batch(last[None, :], key, *sp_rows, ck)[0]
+            return (caches, first, toks.at[slot].set(first),
+                    temps.at[slot].set(sp_rows[0][0]),
+                    topks.at[slot].set(sp_rows[1][0]),
+                    topps.at[slot].set(sp_rows[2][0]))
 
-        ck = candidate_k
+        # one dispatch for a finished slot's cross-layer cache clear
+        @jax.jit
+        def _clear_slot(caches, slot):
+            return [c.clear(slot) for c in caches]
 
         def _sample_step(logits, key, sample_args, use_sampling):
             if not use_sampling:  # every slot greedy: skip the top_k pass
@@ -196,6 +228,13 @@ class ContinuousBatchingEngine:
             ``eos_ids``: [B] int32 (-1 = no EOS). ``budgets``: [B] int32
             tokens this slot may still emit.
             """
+            # Device-side initial gate: a slot whose (deferred) first token
+            # already hit EOS, or whose budget is exhausted, never decodes
+            # — admission defers the host check to the chunk sync, so it
+            # must happen here (still zero host syncs).
+            active = (active & (budgets > 0) &
+                      ~((eos_ids >= 0) & (toks == eos_ids)))
+
             def body(carry, k):
                 caches, toks, act, emitted = carry
                 positions = caches[0].seen
@@ -216,6 +255,7 @@ class ContinuousBatchingEngine:
             return caches, toks, seq.T  # [B, n]
 
         self._prefill_fn = _prefill
+        self._clear_fn = _clear_slot
         self._decode_fn = _decode
         self._decode_chunk_fn = _decode_chunk
 
@@ -229,16 +269,6 @@ class ContinuousBatchingEngine:
         flag: an all-greedy pool skips the per-step top_k pass entirely)."""
         return any(self._req_sampling(r).temperature > 0.0
                    for r in self._slots if r is not None)
-
-    def _sample_one(self, logits_row: jax.Array, key,
-                    sp: SamplingParams) -> int:
-        """Host-side single-row sample (first token after a prefill)."""
-        tok = _sample_batch(
-            logits_row[None, :], key,
-            jnp.asarray([sp.temperature], jnp.float32),
-            jnp.asarray([sp.top_k], jnp.int32),
-            jnp.asarray([sp.top_p], jnp.float32), self.candidate_k)
-        return int(tok[0])
 
     # -- public API -----------------------------------------------------------
 
@@ -261,7 +291,14 @@ class ContinuousBatchingEngine:
         return sum(r is not None for r in self._slots)
 
     def _admit(self):
-        """Prefill queued requests into free slots."""
+        """Prefill queued requests into free slots — fully async.
+
+        Every device op here (prefill + on-device first-token sample +
+        ``toks`` update) is dispatched without a host sync, so the decode
+        chunk that follows is enqueued back-to-back behind the prefill and
+        the host blocks only once, at the chunk's ``device_get``. The
+        first token is read back and appended to the request at that sync
+        (``_flush_pending``)."""
         for slot in range(self.max_batch):
             if self._slots[slot] is not None or not self._queue:
                 continue
@@ -270,19 +307,44 @@ class ContinuousBatchingEngine:
             n_pad = _round_up(max(n, 1), self.prefill_bucket)
             ids = jnp.zeros((1, n_pad), jnp.int32).at[0, :n].set(
                 jnp.asarray(req.prompt, jnp.int32))
-            self.caches, last_logits = self._prefill_fn(
-                self.params, self.caches, ids, jnp.int32(n),
-                jnp.int32(slot))
             sp = self._req_sampling(req)
-            self._temps = self._temps.at[slot].set(sp.temperature)
-            self._topks = self._topks.at[slot].set(sp.top_k)
-            self._topps = self._topps.at[slot].set(sp.top_p)
+            sp_rows = (jnp.asarray([sp.temperature], jnp.float32),
+                       jnp.asarray([sp.top_k], jnp.int32),
+                       jnp.asarray([sp.top_p], jnp.float32))
             self.key, sub = jax.random.split(self.key)
-            first = self._sample_one(last_logits, sub, sp)
-            self.toks = self.toks.at[slot].set(first)
-            req.tokens.append(first)
+            (self.caches, first, self.toks, self._temps, self._topks,
+             self._topps) = self._prefill_fn(
+                self.params, self.caches, ids, jnp.int32(n),
+                jnp.int32(slot), sub, sp_rows, self.toks, self._temps,
+                self._topks, self._topps)
+            self._pending_first[slot] = first
             self._slots[slot] = req
-            self._finish_if_done(slot, first)
+
+    def _flush_pending(self, fetched: Optional[Dict[int, int]] = None):
+        """Append deferred first tokens to their requests (host
+        bookkeeping for tokens already sampled on device at admission).
+        ``fetched``: already-device_get results keyed by slot; slots not
+        covered are fetched here. Returns {slot: (request, first_token)}
+        for slots flushed this call (the request may already be finished
+        and unslotted)."""
+        if not self._pending_first:
+            return {}
+        if fetched is None:
+            fetched = jax.device_get(
+                {s: a for s, a in self._pending_first.items()})
+        out = {}
+        for slot in list(self._pending_first):
+            tok = int(fetched[slot])
+            self._pending_first.pop(slot)
+            req = self._slots[slot]
+            if req is None:  # slot got cleared before the flush
+                continue
+            req.tokens.append(tok)
+            out[slot] = (req, tok)
+            if self.first_token_cb is not None:
+                self.first_token_cb(req.rid, tok)
+            self._finish_if_done(slot, tok)
+        return out
 
     def _finish_if_done(self, slot: int, tok: int):
         req = self._slots[slot]
@@ -292,13 +354,14 @@ class ContinuousBatchingEngine:
                 len(req.tokens) >= req.max_new_tokens):
             req.done = True
             self._slots[slot] = None
-            for li in range(len(self.caches)):
-                self.caches[li] = self.caches[li].clear(jnp.int32(slot))
+            self.caches = self._clear_fn(self.caches, jnp.int32(slot))
 
     def step(self) -> Dict[int, int]:
         """Admit + one decode step for all active slots.
 
-        Returns {rid: token} emitted this step.
+        Returns {rid: token} emitted this step — for a slot admitted this
+        very call that is two tokens (deferred first + decoded); the dict
+        carries the latest, both land in the request's token list.
         """
         self._admit()
         active_py = [r is not None for r in self._slots]
@@ -309,12 +372,17 @@ class ContinuousBatchingEngine:
         self.caches, self.toks = self._decode_fn(
             self.params, self.caches, self.toks, active, sub,
             (self._temps, self._topks, self._topps), self._use_sampling())
-        toks_host = jax.device_get(self.toks)
+        # firsts first: the prefill precedes the decode step in program
+        # order, so its tokens are ready (and the TTFT callback fires)
+        # before the decode result lands
         out = {}
+        for _slot, (req, tok) in self._flush_pending().items():
+            out[req.rid] = tok
+        toks_host = jax.device_get(self.toks)
         for slot, is_active in enumerate(active_py):
-            if not is_active:
-                continue
             req = self._slots[slot]
+            if not is_active or req is None:  # None: finished by its first
+                continue
             tok = int(toks_host[slot])
             req.tokens.append(tok)
             out[req.rid] = tok
@@ -337,24 +405,34 @@ class ContinuousBatchingEngine:
         if not any(active_py):
             return {}
         active = jnp.asarray(active_py)
+        pend = set(self._pending_first)
         eos_ids = jnp.asarray(
             [(r.eos_id if r is not None and r.eos_id is not None else -1)
              for r in self._slots], jnp.int32)
+        # a slot admitted this call has its (not yet host-visible) first
+        # token in flight: it consumes one unit of budget, and the chunk
+        # program gates on it against EOS device-side
         budgets = jnp.asarray(
-            [(max(r.max_new_tokens - len(r.tokens), 0) if r is not None
-              else 0) for r in self._slots], jnp.int32)
+            [(max(r.max_new_tokens - len(r.tokens) -
+                  (1 if s in pend else 0), 0) if r is not None
+              else 0) for s, r in enumerate(self._slots)], jnp.int32)
         self.key, sub = jax.random.split(self.key)
         self.caches, self.toks, seq = self._decode_chunk_fn(
             self.params, self.caches, self.toks, active, sub, n, eos_ids,
             budgets, (self._temps, self._topks, self._topps),
             self._use_sampling())
-        seq_host = jax.device_get(seq)  # [B, n]
+        # firsts first: admission prefills precede the chunk in program
+        # order, so their tokens are host-visible (TTFT callback fires)
+        # while the chunk is still running on device
         out: Dict[int, List[int]] = {}
+        for _slot, (req, tok) in self._flush_pending().items():
+            out[req.rid] = [tok]
+        seq_host = jax.device_get(seq)  # [B, n]
         for slot, is_active in enumerate(active_py):
-            if not is_active:
-                continue
             req = self._slots[slot]
-            kept = []
+            if not is_active or req is None:  # None: finished by its first
+                continue
+            kept = out.setdefault(req.rid, [])
             for tok in (int(t) for t in seq_host[slot]):
                 req.tokens.append(tok)
                 kept.append(tok)
@@ -362,11 +440,9 @@ class ContinuousBatchingEngine:
                         len(req.tokens) >= req.max_new_tokens):
                     req.done = True
                     break
-            out[req.rid] = kept
             if req.done:
                 self._slots[slot] = None
-                for li in range(len(self.caches)):
-                    self.caches[li] = self.caches[li].clear(jnp.int32(slot))
+                self.caches = self._clear_fn(self.caches, jnp.int32(slot))
         return out
 
     def run(self, chunk: Optional[int] = None) -> Dict[int, List[int]]:
@@ -428,6 +504,10 @@ class ContinuousBatchingEngine:
         import json
 
         from ..utils import checkpoint
+
+        # materialize any in-flight first tokens so the JSON bookkeeping
+        # is consistent with the device arrays being snapshotted
+        self._flush_pending()
 
         # caches go as flat leaves: orbax restores flax.struct nodes as
         # plain dicts, so the loader unflattens against the fresh

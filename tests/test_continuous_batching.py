@@ -377,3 +377,31 @@ def test_engine_checkpoint_resume(tmp_path):
 
     assert rest_a[ra[0]] == rest_c[rb[0]]
     assert rest_a[ra[1]] == rest_c[rb[1]]
+
+
+def test_engine_first_token_callback():
+    """first_token_cb fires exactly once per request with the request's
+    actual first generated token, across both the chunked and per-step
+    paths (admission samples the first token on device; the callback is
+    the host-visibility point — the TTFT instrument)."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    prompts = [[5, 9, 2], [7, 1, 30, 11], [3] * 9]
+
+    for chunk in (None, 1):
+        seen = {}
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=2, max_len=64, prefill_bucket=16,
+            dtype=jnp.float32,
+            first_token_cb=lambda rid, tok: seen.setdefault(rid, []).append(tok))
+        rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        results = eng.run(chunk=chunk)
+        assert sorted(seen) == sorted(rids)
+        for rid in rids:
+            assert seen[rid] == [results[rid][0]], (
+                chunk, rid, seen[rid], results[rid])
