@@ -503,13 +503,17 @@ def forward_decode(
     position: jax.Array,
     interpret: Optional[bool] = None,
     attn_impl=None,
+    collect_kv: bool = False,
 ):
     """Single-token decode step. input_ids: [B, 1] -> logits [B, 1, V].
 
     Appends this token's KV to each layer cache and attends over the rolling
     sink cache with the Pallas decode kernel. ``attn_impl(q, cache, s_aux)``
     overrides the decode attention (e.g. a shard_map island for
-    tensor-sharded serving — serving.sharded).
+    tensor-sharded serving — serving.sharded). ``collect_kv=True``
+    additionally returns this step's per-layer post-RoPE (k, v)
+    [B, H_kv, 1, D] — the speculative draft loop commits these directly
+    instead of paying a second draft pass (generate.py round_body step 4).
     """
     B = input_ids.shape[0]
     x = _embed_lookup(params["embed"], input_ids)
@@ -520,6 +524,7 @@ def forward_decode(
                                       interpret=interpret)
 
     new_caches = []
+    kvs = []
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp["attn"], cfg, h)
@@ -529,12 +534,16 @@ def forward_decode(
         attn = attn_impl(
             q, cache, s_aux=_s_aux(lp, cfg))
         new_caches.append(cache)
+        if collect_kv:
+            kvs.append((k, v))
         x = x + _out_proj(lp["attn"], cfg, attn)
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         x = x + mlp_block(lp["mlp"], cfg, h)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _mm(x, params["lm_head"])
+    if collect_kv:
+        return logits, new_caches, kvs
     return logits, new_caches
 
 

@@ -204,8 +204,12 @@ def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
        written with the ring state advanced by only ``n_acc + 1``, so
        rejecting tokens costs four scalar selects per token instead of
        the re-append target pass the old host-driven version paid;
-    4. the draft cache commits the SAME accepted tokens via one extra
-       (cheap) draft multi-token pass, keeping it exactly in sync.
+    4. the draft cache commits the SAME accepted tokens at zero model
+       cost: the proposal scan already produced their per-layer KVs
+       (``forward_decode(collect_kv=True)``) — for every committed index
+       the proposal input equals the accepted input, so those KVs are
+       re-committed via ``append_many_counted`` and the draft never runs
+       a second pass.
 
     Output is IDENTICAL to target-only greedy decoding — the draft only
     changes how many target passes are needed. Exactly one target pass per
@@ -243,15 +247,20 @@ def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
     def round_body(carry):
         tcaches, dcaches, tok, pos, emitted, out_buf, rounds = carry
 
-        # 1. draft proposes K tokens
+        # 1. draft proposes K tokens, emitting each step's per-layer KV —
+        # the commit in step 4 reuses these (for i <= n_acc the proposal
+        # inputs ARE the accepted inputs), so the draft never runs twice
         def dstep(c, _):
             dc, cur, p = c
-            dl, dc = forward_decode(params_draft, cfg_draft, cur[:, None],
-                                    dc, p, interpret=interpret)
+            dl, dc, kvs = forward_decode(params_draft, cfg_draft,
+                                         cur[:, None], dc, p,
+                                         interpret=interpret,
+                                         collect_kv=True)
             nxt = jnp.argmax(dl[:, -1], axis=-1).astype(jnp.int32)
-            return (dc, nxt, p + 1), nxt
+            return (dc, nxt, p + 1), (nxt, kvs)
 
-        _, draft_kb = jax.lax.scan(dstep, (dcaches, tok, pos), length=K)
+        _, (draft_kb, dkvs) = jax.lax.scan(dstep, (dcaches, tok, pos),
+                                           length=K)
         draft = draft_kb[:, 0]  # [K] (B == 1)
 
         # 2. target verifies [tok, draft[:-1]] in one multi-token pass
@@ -273,12 +282,15 @@ def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
         tcaches = [c.append_many_counted(k, v, count)
                    for c, (k, v) in zip(tcaches, tkvs)]
 
-        # 4. draft commit: the accepted inputs through one draft multi pass
-        dinputs = jnp.concatenate([tok, accepted[:K - 1]])[None]
-        _, dkvs = _forward_multi(params_draft, cfg_draft, dinputs, dcaches,
-                                 pos, interpret=interpret)
-        dcaches = [c.append_many_counted(k, v, count)
-                   for c, (k, v) in zip(dcaches, dkvs)]
+        # 4. draft commit: the proposal scan's own KVs, ring state advanced
+        # by count. Committed inputs [tok, accepted[:n_acc]] equal the
+        # proposal inputs [tok, draft[:n_acc]] elementwise (accepted ==
+        # draft below n_acc), and slots past count are never readable, so
+        # this is exactly the old second-draft-pass commit for free.
+        dcaches = [c.append_many_counted(
+            jnp.moveaxis(k[:, :, :, 0, :], 0, 2),   # [K,B,H,1,D]->[B,H,K,D]
+            jnp.moveaxis(v[:, :, :, 0, :], 0, 2), count)
+            for c, (k, v) in zip(dcaches, dkvs)]
 
         out_buf = jax.lax.dynamic_update_slice(out_buf, accepted, (emitted,))
         tok = accepted[jnp.minimum(n_acc, K - 1)][None]
