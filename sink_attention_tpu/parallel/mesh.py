@@ -81,8 +81,16 @@ def make_multihost_mesh(axis_sizes: Dict[str, int],
         f"cannot split {n_hosts} hosts over dcn axes {dcn_axes} "
         f"with sizes {axis_sizes}")
     ici = tuple(s // d for s, d in zip(sizes, dcn))
+    # process_is_granule when the platform doesn't report slice topology
+    # (e.g. the CPU-simulated multi-process slice used in tests): each
+    # PROCESS is then the fast-domain granule. On real TPU pods devices
+    # carry a distinct slice_index per ICI domain and the default grouping
+    # applies.
+    devs = jax.devices()
+    by_slice = len({getattr(d, "slice_index", 0) for d in devs}) == n_hosts
     arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=ici, dcn_mesh_shape=tuple(dcn))
+        mesh_shape=ici, dcn_mesh_shape=tuple(dcn),
+        process_is_granule=not by_slice)
     return Mesh(arr, names)
 
 
