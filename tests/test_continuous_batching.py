@@ -405,3 +405,32 @@ def test_engine_first_token_callback():
         for rid in rids:
             assert seen[rid] == [results[rid][0]], (
                 chunk, rid, seen[rid], results[rid])
+
+
+def test_engine_eos_on_first_token():
+    """A request whose FIRST sampled token is its EOS: the token is
+    deferred on device at admission, so the chunk program must gate the
+    slot off device-side (no further decode), and the host flush must
+    finish the request with exactly that one token."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    prompt = [5, 9, 2]
+
+    # learn the first greedy token, then make it the EOS
+    eng0 = ContinuousBatchingEngine(params, cfg, max_batch=1, max_len=64,
+                                    prefill_bucket=16, dtype=jnp.float32)
+    r0 = eng0.submit(prompt, max_new_tokens=4)
+    first = eng0.run()[r0][0]
+
+    for chunk in (None, 1):
+        eng = ContinuousBatchingEngine(params, cfg, max_batch=1, max_len=64,
+                                       prefill_bucket=16, dtype=jnp.float32)
+        rid = eng.submit(prompt, max_new_tokens=8, eos_id=first)
+        out = eng.run(chunk=chunk)
+        assert out[rid] == [first], (chunk, out[rid], first)
+        assert eng.active_count == 0 and not eng._queue
