@@ -54,8 +54,11 @@ def prefill_table():
     # past 32K; here it is measured.
     for N in [4096, 8192, 16384, 32768, 65536, 131072]:
         q, k, v = qkv(N)
+        # k, v via *consts, NOT closures: closure-captured arrays become
+        # inline jit constants, and at 64K+ the serialized compile request
+        # exceeds the remote-compile tunnel's size limit (HTTP 413)
         dt = time_chained(
-            lambda q: sink_flash_attention(q, k, v, NS, W), q)
+            lambda q, k, v: sink_flash_attention(q, k, v, NS, W), q, k, v)
         fl = sink_attention_flops(B, HQ, N, D, NS, W)
         ref = REF.get(N)
         RESULTS["prefill"].append(
@@ -107,7 +110,10 @@ def baseline_table():
           f"{'ours+bwd':>9} {'splash+bwd':>11} {'speedup':>8}")
     RESULTS["baseline"] = []
     scale = 1.0 / (D ** 0.5)
-    for N in [4096, 8192, 16384, 32768, 65536]:
+    # stops at 32K like the reference's FA2 table: full-causal fwd+bwd at
+    # 64K with MHA-expanded KV overflows a 16 GB chip (the baseline OOMs,
+    # not ours — our own 64K/128K rows are in the prefill table)
+    for N in [4096, 8192, 16384, 32768]:
         q, k, v = qkv(N)
         rep = HQ // HKV
         k_e = jnp.repeat(k, rep, axis=1)
@@ -417,6 +423,85 @@ def engine_arrival_table():
           f"p99 {p99*1e3:.1f} ms ({p99/chunk_s:.2f}x one chunk)")
 
 
+def beam_table():
+    """Beam search (fully jitted: scoring + cache reorder inside one
+    scan) vs greedy, wall-clock. Beam cost scales with num_beams through
+    the flattened cache batch dim; the per-step reorder is the overhead
+    under test. The reference's beam support is HF generate() +
+    reorder_cache (reference cache.py:230-238) with no published beam
+    numbers."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import beam_generate, greedy_generate
+
+    print("\n=== Beam search vs greedy (8-layer tiny model, max_new=128) "
+          "===")
+    cfg = ModelConfig.tiny(num_layers=8, vocab_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0, 256)
+    max_new = 128
+    greedy_fn = jax.jit(lambda p, i: greedy_generate(
+        p, cfg, i, max_new_tokens=max_new, dtype=jnp.bfloat16))
+    RESULTS["beam"] = []
+    jax.block_until_ready(greedy_fn(params, ids))
+    t0 = time.perf_counter()
+    jax.block_until_ready(greedy_fn(params, ids))
+    t_greedy = time.perf_counter() - t0
+    for K in (4, 8):
+        beam_fn = jax.jit(lambda p, i, K=K: beam_generate(
+            p, cfg, i, max_new_tokens=max_new, num_beams=K, eos_id=7,
+            dtype=jnp.bfloat16)[0])
+        jax.block_until_ready(beam_fn(params, ids))
+        t0 = time.perf_counter()
+        jax.block_until_ready(beam_fn(params, ids))
+        t_beam = time.perf_counter() - t0
+        RESULTS["beam"].append(
+            {"num_beams": K, "max_new": max_new,
+             "greedy_ms": t_greedy * 1e3, "beam_ms": t_beam * 1e3,
+             "cost_vs_greedy": t_beam / t_greedy})
+        print(f"K={K}: beam {t_beam*1e3:8.1f} ms vs greedy "
+              f"{t_greedy*1e3:8.1f} ms ({t_beam/t_greedy:.2f}x for "
+              f"{K} hypotheses)")
+
+
+def int4serve_table():
+    """Full 24-layer gpt-oss-20b on ONE 16 GB v5e: int4 layer weights +
+    int8 embed/lm_head (~11 GB). The only single-chip configuration that
+    fits the whole model — the reference has no quantization and cannot
+    fit it on any 16 GB device. Decode matmuls use the XLA-fused nibble
+    path (ops/int4.py), which at decode shapes beats even int8 in
+    wall-clock while moving half the HBM bytes."""
+    from sink_attention_tpu.models import ModelConfig, init_quantized_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    print("\n=== Full gpt-oss-20b (24 layers) single-chip serving, "
+          "int4 weights ===")
+    cfg = ModelConfig.gpt_oss_20b()
+    params = init_quantized_params(cfg, jax.random.PRNGKey(0), bits=4)
+    prompt = list(range(1, 65))
+    RESULTS["int4_serving"] = []
+    for slots in (1, 8):
+        eng = ContinuousBatchingEngine(params, cfg, max_batch=slots,
+                                       max_len=4096, prefill_bucket=64,
+                                       dtype=jnp.bfloat16)
+        for _ in range(slots):
+            eng.submit(prompt, max_new_tokens=1 << 30)
+        eng.step_chunk(32); eng.step_chunk(32)  # compile + warm
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            eng.step_chunk(32)
+        dt = (time.perf_counter() - t0) / (n * 32)
+        tps = slots / dt
+        RESULTS["int4_serving"].append(
+            {"slots": slots, "weights": "int4(+int8 embed/head)",
+             "chunk": 32, "ms_per_tok": dt * 1e3, "tokens_per_s": tps})
+        print(f"slots={slots}  {dt*1e3:7.2f} ms/tok  {tps:7.1f} tok/s/chip")
+        del eng
+        gc.collect()
+    del params
+    gc.collect()
+
+
 def _run_engine(eng, max_batch, kv_quant, w_quant, chunk, prompt):
     for _ in range(max_batch):
         eng.submit(prompt, max_new_tokens=1 << 30)
@@ -469,6 +554,10 @@ if __name__ == "__main__":
         engine_arrival_table()
     if (args.engine and only is None) or (only and "spec" in only):
         spec_table()
+    if (args.engine and only is None) or (only and "beam" in only):
+        beam_table()
+    if (args.engine and only is None) or (only and "int4serve" in only):
+        int4serve_table()
     if args.json:
         with open(args.json, "w") as f:
             json.dump(RESULTS, f, indent=1)

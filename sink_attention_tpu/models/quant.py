@@ -121,7 +121,8 @@ def quantize_params(params: dict, cfg=None,
 
 def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
                           init_dtype: Any = jnp.bfloat16,
-                          bits: int = 8) -> dict:
+                          bits: int = 8,
+                          int4_group_size: Any = None) -> dict:
     """Random-init a model directly in int8 form, one tensor at a time.
 
     For models whose full-precision parameters exceed device memory (the
@@ -130,6 +131,8 @@ def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
     source before creating the next — peak memory stays near the int8
     total plus one tensor. Mirrors ``model.init_params`` (same shapes,
     same per-key RNG stream) followed by ``quantize_params``.
+    ``int4_group_size``: group-wise int4 scales (see
+    ``quantize_weight_int4``); None keeps per-output-channel.
     """
     import jax as _jax
     import jax.numpy as _jnp
@@ -149,7 +152,8 @@ def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
         full = w(shape, scale)
         if bits == 4:
             out = quantize_weight_int4(full, contract_axis=contract_axis,
-                                       scale_dtype=compute_dtype)
+                                       scale_dtype=compute_dtype,
+                                       group_size=int4_group_size)
         else:
             out = quantize_weight(full, contract_axis=contract_axis,
                                   scale_dtype=compute_dtype)
@@ -169,8 +173,12 @@ def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
 
     # embed/lm_head first: their init transients (vocab x H) are the
     # largest, so create them while accumulated memory is still small.
+    # The embedding stays int8 at bits=4 (it is gathered, never
+    # contracted — the packed-halves layout has no gather story); the
+    # lm_head uses the requested bit width (the XLA-fused nibble decode
+    # beats even the int8 fused dot at decode shapes — ops/int4.py).
     embed = qw8((cfg.vocab_size, H), contract_axis=-1)
-    lm_head = qw8((H, cfg.vocab_size))
+    lm_head = qw((H, cfg.vocab_size))
 
     layers = []
     for _ in range(cfg.num_layers):
@@ -202,10 +210,6 @@ def init_quantized_params(cfg, key, compute_dtype: Any = jnp.bfloat16,
     return {
         "embed": embed,
         "layers": layers,
-        # lm_head stays int8 even at bits=4: it is the single hottest
-        # decode matmul and the int8 dequant fuses into the dot (~83% of
-        # roofline), while int4 unpack is VPU-bound; the size delta is
-        # only ~0.3 GB on gpt-oss-20b.
         "lm_head": lm_head,
         "final_norm": _jnp.ones((H,), init_dtype),
     }
@@ -216,11 +220,15 @@ def is_quantized4(w: Any) -> bool:
 
 
 def quantize_weight_int4(w: jax.Array, contract_axis: int = -2,
-                         scale_dtype: Any = jnp.float32) -> dict:
+                         scale_dtype: Any = jnp.float32,
+                         group_size: Any = None) -> dict:
     """INT4 quantize+pack (ops.int4.pack_int4 nibble format): ``{"q4":
-    packed int8 [.., K/2, ..], "s": per-output-channel scales}``. Consumed
-    by the XLA-fused int4 matmuls via ``model._mm``/``_expert_mm``."""
+    packed int8 [.., K/2, ..], "s": scales}`` — per-output-channel, or
+    per-(``group_size`` rows x channel) when set (accuracy headroom: each
+    K-slab quantizes against its own range instead of the column's single
+    largest outlier). Consumed by the XLA-fused int4 matmuls via
+    ``model._mm``/``_expert_mm``."""
     from ..ops.int4 import pack_int4
 
-    packed, scale = pack_int4(w, contract_axis)
+    packed, scale = pack_int4(w, contract_axis, group_size=group_size)
     return {"q4": packed, "s": scale.astype(scale_dtype)}

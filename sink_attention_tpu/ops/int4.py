@@ -46,25 +46,45 @@ import jax.numpy as jnp
 __all__ = ["pack_int4", "int4_matmul", "int4_matmul_experts"]
 
 
-def pack_int4(w: jax.Array, contract_axis: int = -2):
+def pack_int4(w: jax.Array, contract_axis: int = -2,
+              group_size: Optional[int] = None):
     """Quantize + pack a weight to int4 along ``contract_axis``.
 
-    Returns ``(packed int8 [..., K/2, ...], scales)`` where scales have
-    the weight's shape with the contract axis reduced to 1 (one scale per
-    output channel, like ``quantize_weight``). K must be even.
+    Returns ``(packed int8 [..., K/2, ...], scales)``. With
+    ``group_size=None`` scales have the weight's shape with the contract
+    axis reduced to 1 (one scale per output channel, like
+    ``quantize_weight``); with ``group_size=g`` the contract axis becomes
+    ``K/g`` — one scale per g-row group per output channel, the accuracy
+    headroom knob (a single per-column max-abs over K=2880 rows is
+    hostage to its one largest outlier; per-32 groups quantize each slab
+    against its own range). K must be even; g must divide K/2 so the
+    lo/hi packing halves stay group-aligned.
     """
     contract_axis = contract_axis % w.ndim
     K = w.shape[contract_axis]
     assert K % 2 == 0, K
+    if group_size is not None:
+        assert (K // 2) % group_size == 0, (K, group_size)
     # bf16 inputs quantize in bf16: int4 rounding error (+-0.5 steps)
     # dwarfs bf16 division error, and fp32 temporaries of a near-HBM-size
     # tensor are exactly what overflows a 16 GB chip during model init.
     cdt = jnp.float32 if w.dtype.itemsize >= 4 else w.dtype
     wf = w.astype(cdt)
-    amax = jnp.max(jnp.abs(wf), axis=contract_axis,
-                   keepdims=True).astype(jnp.float32)
+    if group_size is None:
+        amax = jnp.max(jnp.abs(wf), axis=contract_axis,
+                       keepdims=True).astype(jnp.float32)
+    else:
+        shp = list(wf.shape)
+        shp[contract_axis:contract_axis + 1] = [K // group_size,
+                                                group_size]
+        amax = jnp.max(jnp.abs(wf.reshape(shp)), axis=contract_axis + 1
+                       ).astype(jnp.float32)  # [..., K/g, ...]
     scale = jnp.where(amax == 0.0, 1.0, amax / 7.0)
-    q = jnp.clip(jnp.round(wf / scale.astype(cdt)), -7, 7).astype(jnp.int8)
+    if group_size is None:
+        s_full = scale
+    else:
+        s_full = jnp.repeat(scale, group_size, axis=contract_axis)
+    q = jnp.clip(jnp.round(wf / s_full.astype(cdt)), -7, 7).astype(jnp.int8)
     lo, hi = jnp.split(q, 2, axis=contract_axis)
     packed = jnp.bitwise_or(
         jnp.bitwise_and(lo, jnp.int8(0x0F)),
@@ -86,11 +106,23 @@ def _unpack_bf16(packed: jax.Array):
     return lo, hi
 
 
+def _grouped_halves(lo, hi, scale, K2, N, batch_shape=()):
+    """Apply per-group scales to the decoded halves. ``scale``:
+    [..., K/g, N]; row k's group is k//g, and the hi half holds original
+    rows K/2 + k. Returns fp32-scaled bf16 halves (the multiply fuses
+    into the dot's operand read like the convert does)."""
+    G = scale.shape[-2]
+    g = 2 * K2 // G
+    s_full = jnp.repeat(scale.astype(jnp.bfloat16), g, axis=-2)
+    return (lo * s_full[..., :K2, :], hi * s_full[..., K2:, :])
+
+
 def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
                 interpret: Optional[bool] = None) -> jax.Array:
     """``x [T, K] @ unpack(packed [K/2, N]) * scale -> [T, N]``.
 
-    ``scale``: [1, N] (or [N]) per-output-channel scales. Output dtype
+    ``scale``: [1, N] (or [N]) per-output-channel scales, or [K/g, N]
+    group-wise scales from ``pack_int4(group_size=g)``. Output dtype
     follows x. ``interpret`` is accepted for API compatibility with the
     Pallas ops and ignored (this is pure XLA).
     """
@@ -101,17 +133,23 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
     assert K == 2 * K2, (K, K2)
     lo, hi = _unpack_bf16(packed)
     xb = x.astype(jnp.bfloat16)
+    grouped = scale.ndim == 2 and scale.shape[0] > 1
+    if grouped:
+        lo, hi = _grouped_halves(lo, hi, scale, K2, N)
     acc = jnp.dot(xb[:, :K2], lo, preferred_element_type=jnp.float32)
     acc += jnp.dot(xb[:, K2:], hi, preferred_element_type=jnp.float32)
-    return (acc * scale.reshape(1, N)).astype(out_dtype)
+    if not grouped:
+        acc = acc * scale.reshape(1, N)
+    return acc.astype(out_dtype)
 
 
 def int4_matmul_experts(x: jax.Array, packed: jax.Array, scale: jax.Array,
                         interpret: Optional[bool] = None) -> jax.Array:
     """Batched-experts variant against packed ``[E, K/2, N]`` weights with
-    scales ``[E, 1, N]``. ``x`` is either [T, K] (shared across experts —
-    the dense-MoE ``th,ehi->eti``) or [E, T, K] (per-expert activations —
-    the ``eti,eih->eth`` down projection). Returns [E, T, N]."""
+    scales ``[E, 1, N]`` (per-output-channel) or ``[E, K/g, N]``
+    (group-wise). ``x`` is either [T, K] (shared across experts — the
+    dense-MoE ``th,ehi->eti``) or [E, T, K] (per-expert activations — the
+    ``eti,eih->eth`` down projection). Returns [E, T, N]."""
     del interpret
     out_dtype = x.dtype
     E, K2, N = packed.shape
@@ -119,6 +157,9 @@ def int4_matmul_experts(x: jax.Array, packed: jax.Array, scale: jax.Array,
     assert x.shape[-1] == K, (x.shape, K)
     lo, hi = _unpack_bf16(packed)
     xb = x.astype(jnp.bfloat16)
+    grouped = scale.ndim == 3 and scale.shape[1] > 1
+    if grouped:
+        lo, hi = _grouped_halves(lo, hi, scale, K2, N, (E,))
     if x.ndim == 3:
         acc = jnp.einsum("etk,ekn->etn", xb[..., :K2], lo,
                          preferred_element_type=jnp.float32)
@@ -129,4 +170,6 @@ def int4_matmul_experts(x: jax.Array, packed: jax.Array, scale: jax.Array,
                          preferred_element_type=jnp.float32)
         acc += jnp.einsum("tk,ekn->etn", xb[:, K2:], hi,
                           preferred_element_type=jnp.float32)
-    return (acc * scale.reshape(E, 1, N)).astype(out_dtype)
+    if not grouped:
+        acc = acc * scale.reshape(E, 1, N)
+    return acc.astype(out_dtype)
