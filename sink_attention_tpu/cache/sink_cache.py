@@ -196,8 +196,19 @@ class SinkKVCache:
             write_pos=jnp.int32(n_win % W if rest > 0 else 0),
             seen=jnp.int32(N))
 
-    def append(self, k_new: jax.Array, v_new: jax.Array) -> "SinkKVCache":
-        """Append one decode token [B, H_kv, 1, D] to the circular window."""
+    def append(self, k_new: jax.Array, v_new: jax.Array,
+               keep=None) -> "SinkKVCache":
+        """Append one decode token [B, H_kv, 1, D] to the circular window.
+
+        ``keep`` (optional traced bool): when False the append is a no-op —
+        the scalar ring state is frozen AND the slot data is preserved by
+        reading the current slot back and selecting. The read-back matters:
+        once the ring is full, the next-write slot holds the OLDEST LIVE
+        token (every slot is valid to the decode kernel's circular-age
+        mask, ops/decode.py), so an unconditional data write there would
+        corrupt real cache contents. Used by ``append_many_counted`` to
+        reject speculative draft tokens without copying the cache.
+        """
         B, H, n, D = k_new.shape
         assert n == 1, "append handles one token; use append_many"
         d_pad = self.head_dim_padded
@@ -233,16 +244,39 @@ class SinkKVCache:
             new_write = (self.write_pos + 1) % W
             new_win = jnp.minimum(self.window_len + 1, W)
         zero = jnp.int32(0)
+        if keep is not None:
+            # Preserve-on-reject: select between the new token and the
+            # slot's current contents (a [B,H,1,D] slice — cheap) so a
+            # rejected write leaves live data untouched even when the
+            # full ring's next-write slot holds the oldest live token.
+            old_k = jax.lax.dynamic_slice(
+                self.k, (zero, zero, pos, zero), ck.shape)
+            old_v = jax.lax.dynamic_slice(
+                self.v, (zero, zero, pos, zero), cv.shape)
+            old_ks = jax.lax.dynamic_slice(
+                self.k_scale, (zero, zero, pos), sk.shape)
+            old_vs = jax.lax.dynamic_slice(
+                self.v_scale, (zero, zero, pos), sv.shape)
+            ck = jnp.where(keep, ck, old_k)
+            cv = jnp.where(keep, cv, old_v)
+            sk = jnp.where(keep, sk, old_ks)
+            sv = jnp.where(keep, sv, old_vs)
+            new_sink_len = jnp.where(keep, new_sink_len, self.sink_len)
+            new_write = jnp.where(keep, new_write, self.write_pos)
+            new_win = jnp.where(keep, new_win, self.window_len)
         new_k = jax.lax.dynamic_update_slice(self.k, ck, (zero, zero, pos, zero))
         new_v = jax.lax.dynamic_update_slice(self.v, cv, (zero, zero, pos, zero))
         new_ks = jax.lax.dynamic_update_slice(self.k_scale, sk,
                                               (zero, zero, pos))
         new_vs = jax.lax.dynamic_update_slice(self.v_scale, sv,
                                               (zero, zero, pos))
+        new_seen = self.seen + 1
+        if keep is not None:
+            new_seen = jnp.where(keep, new_seen, self.seen)
         return self.replace(
             k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs,
             sink_len=new_sink_len, write_pos=new_write,
-            window_len=new_win, seen=self.seen + 1)
+            window_len=new_win, seen=new_seen)
 
     def append_many(self, k_new: jax.Array, v_new: jax.Array) -> "SinkKVCache":
         """Append N tokens one by one (speculative decode; reference
@@ -258,24 +292,20 @@ class SinkKVCache:
         """Append T tokens but advance state by only ``count`` (traced,
         0 <= count <= T) — the on-device speculative-decoding commit.
 
-        The data writes are unconditional (static shapes); tokens at
-        i >= count all land on the frozen next write slot, which the next
-        real append overwrites before anything can read it (decode
-        attention only reads slots inside the committed window/sink
-        lengths). Only the scalar ring state (write_pos, window_len,
-        sink_len, seen) is gated per token, so rejecting draft tokens
-        costs four scalar selects instead of a cache copy or a re-append
-        forward pass."""
+        Rejected tokens (i >= count) are full no-ops: ``append(keep=False)``
+        freezes the scalar ring state AND preserves the target slot's data
+        via a read-back select. The data gating is required, not just the
+        scalar gating: once the ring is full, the frozen next-write slot
+        holds the oldest LIVE window token (the decode kernel's circular-age
+        mask treats every slot of a full ring as valid), so an ungated
+        write there would silently corrupt it and break the exact-greedy
+        guarantee of speculative decoding past the window length."""
         n = k_new.shape[2]
         cache = self
         for i in range(n):
-            nxt = cache.append(k_new[:, :, i:i + 1], v_new[:, :, i:i + 1])
             keep = jnp.asarray(i, jnp.int32) < count
-            cache = nxt.replace(
-                sink_len=jnp.where(keep, nxt.sink_len, cache.sink_len),
-                write_pos=jnp.where(keep, nxt.write_pos, cache.write_pos),
-                window_len=jnp.where(keep, nxt.window_len, cache.window_len),
-                seen=jnp.where(keep, nxt.seen, cache.seen))
+            cache = cache.append(k_new[:, :, i:i + 1], v_new[:, :, i:i + 1],
+                                 keep=keep)
         return cache
 
     def update(self, k_new: jax.Array, v_new: jax.Array) -> "SinkKVCache":

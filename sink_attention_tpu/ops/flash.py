@@ -405,7 +405,15 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
         # them — A itself is finite and meaningless there.
         lse = jnp.where(l[:, 0] == 0.0, NEG_INF,
                         m_ref[:, 0] * LN2 + jnp.log(l_safe[:, 0]))  # [bm]
-        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+        # Sublane 1 carries per-row max|acc| so the wrapper's sanity
+        # sentinel can detect acc-only overflow (p @ v hits inf while
+        # l = sum(p) stays finite — large-but-finite p times |v| of a few
+        # tens) without re-reading the whole O from HBM. The other
+        # sublanes of this tile are broadcast padding anyway. (Built via
+        # iota select — .at[].set is a scatter, unlowable in Mosaic.)
+        accmax = jnp.max(jnp.abs(acc_ref[...]), axis=1)  # [bm]
+        rows = jax.lax.broadcasted_iota(jnp.int32, lse_ref.shape[1:], 0)
+        lse_ref[0] = jnp.where(rows == 1, accmax[None, :], lse[None, :])
 
 
 # ---------------------------------------------------------------------------
@@ -772,6 +780,12 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
     has_valid = (sink_any | win_any) & (jnp.arange(nq_pad) < N_q)
     lse_rows = lse_p[:, 0]  # [B*H_q, nq_pad]
     bad = jnp.isnan(lse_rows) | (lse_rows == jnp.inf)
+    # acc-only overflow: p @ v can hit inf while l = sum(p) stays finite
+    # (p large-but-finite times |v| of a few tens), so lse alone misses
+    # it. The kernel publishes per-row max|acc| in LSE sublane 1 at
+    # finalize (free: the tile exists, the reduce is one VPU pass over
+    # the acc scratch), so the check costs no extra HBM read of O.
+    bad |= ~jnp.isfinite(lse_p[:, 1])
     if not use_s_aux:
         # Underflow guard (A = 0): l < 2^-90 leaves < 36 bits to the fp32
         # floor, so mass within ~30 bits of the row max may already have

@@ -203,3 +203,46 @@ def test_ragged_append_promotes_short_prompt():
     lk, _ = cache.linearized_kv_slot(0, head_dim=1)
     np.testing.assert_array_equal(np.asarray(lk)[0, :, 0],
                                   [0, 1, 2, 3, 6, 7, 8])
+
+
+def test_append_many_counted_full_ring_rejection():
+    """Rejected speculative tokens (i >= count) must be FULL no-ops.
+
+    Regression test for the round-3 advisor's high finding: with the ring
+    full (window_len == window_size), the frozen next-write slot holds the
+    OLDEST LIVE window token, and an ungated data write there corrupted it
+    — speculative decoding then diverged from greedy past the window
+    length whenever a draft token was rejected. The fix gates the data
+    write (read-back + select), not just the scalar ring state.
+    """
+    B, H, D, ns, W = 1, 2, 4, 2, 4
+    base = SinkKVCache.init(B, H, D, num_sink=ns, window_size=W,
+                            dtype=jnp.float32)
+    # Fill past the wrap: tokens 0..8 -> sinks [0,1], ring holds [5,6,7,8]
+    for t in range(9):
+        kt, vt = token_kv(B, H, 1, D, start=t)
+        base = base.append(kt, vt)
+    np.testing.assert_array_equal(chrono(base), [0, 1, 5, 6, 7, 8])
+
+    # Commit 2 of 4 draft tokens (values 9..12), under jit like the real
+    # speculative loop.
+    kd, vd = token_kv(B, H, 4, D, start=9)
+
+    @jax.jit
+    def commit(cache, k, v, count):
+        return cache.append_many_counted(k, v, count)
+
+    got = commit(base, kd, vd, jnp.int32(2))
+    want = base.append_many(kd[:, :, :2], vd[:, :, :2])
+    np.testing.assert_array_equal(chrono(got), chrono(want))
+    np.testing.assert_array_equal(chrono(got), [0, 1, 7, 8, 9, 10])
+    assert int(got.seen) == int(want.seen) == 11
+    assert int(got.write_pos) == int(want.write_pos)
+    # The REJECTED tokens' values (11, 12) must appear nowhere: slot data
+    # for the oldest live token (7) survived the rejected writes.
+    assert not np.isin([11.0, 12.0], np.asarray(got.k)).any()
+
+    # count == 0 must leave the cache bit-identical.
+    got0 = commit(base, kd, vd, jnp.int32(0))
+    for a, b in zip(jax.tree.leaves(got0), jax.tree.leaves(base)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

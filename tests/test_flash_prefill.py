@@ -125,3 +125,51 @@ def test_rectangular_with_offsets():
         q[:, :, 128:256], k, v, num_sink=4, window_size=128, q_offset=128)
     np.testing.assert_allclose(chunk, full[:, :, 128:256], atol=2e-5,
                                rtol=1e-3)
+
+
+def test_adversarial_logits_trigger_safe_mode():
+    """The fixed-scale fast path is exact only for |scaled logit| within
+    fp32's exponent range of the row scale A; the wrapper must detect a
+    violation and transparently re-run with the classic rescaling kernel
+    (ops/flash.py sanity sentinel). Three trigger classes:
+
+    1. lse overflow: logits so large p itself hits +inf.
+    2. acc-only overflow (round-3 advisor, medium): p large-but-FINITE
+       (2^119) times |v| = 30 overflows acc = p @ v to inf while
+       l = sum(p) stays finite — lse alone cannot see it; the kernel
+       publishes max|acc| in LSE sublane 1 for this.
+    3. underflow: logits so negative a valid row's whole mass flushes
+       to zero.
+
+    Each must still produce the eager oracle's (finite) answer."""
+    B, H, N, D = 1, 2, 64, 64
+    scale_to_unit = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    def uniform_qkv(qk_dot, v_val):
+        # q . k == qk_dot for every pair; all logits equal
+        c = float(np.sqrt(qk_dot / D))
+        q = jnp.full((B, H, N, D), c, jnp.float32)
+        k = jnp.full((B, H, N, D), c, jnp.float32)
+        v = jnp.full((B, H, N, D), v_val, jnp.float32)
+        return q, k, v
+
+    # 1. hard overflow: scaled logit ~ 1000 >> 126/log2(e)
+    q, k, v = uniform_qkv(qk_dot=1000.0 * 8.0, v_val=1.0)
+    out = sink_flash_attention(q, k, v, num_sink=0, window_size=N)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+    # 2. acc-only overflow: exp2 exponent 119 (finite), v = 30 ->
+    # rows attending >= 18 columns overflow acc but not l
+    qk_dot = 119.0 / 1.4426950408889634 * 8.0  # scaled-logit*log2e = 119
+    q, k, v = uniform_qkv(qk_dot=qk_dot, v_val=30.0)
+    out = sink_flash_attention(q, k, v, num_sink=0, window_size=N)
+    assert np.isfinite(np.asarray(out)).all(), "acc overflow not caught"
+    np.testing.assert_allclose(np.asarray(out), 30.0, rtol=1e-5)
+
+    # 3. underflow: all logits hugely negative; uniform softmax must
+    # still come out (every row DOES attend >= 1 column)
+    q, k, v = uniform_qkv(qk_dot=1000.0 * 8.0, v_val=2.0)
+    out = sink_flash_attention(-q, k, v, num_sink=0, window_size=N)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-5)

@@ -222,6 +222,33 @@ def test_speculative_generate_equals_greedy():
     np.testing.assert_array_equal(np.asarray(toks2), ref)
 
 
+def test_speculative_generate_past_window_with_rejections():
+    """Exact-greedy must hold AFTER the sliding-window ring wraps, with an
+    unrelated draft forcing rejections every round.
+
+    Regression for the round-3 advisor's high finding: rejected draft
+    tokens' KV data was written ungated into the frozen next-write slot,
+    which holds the oldest LIVE token once the ring is full — so spec
+    decoding silently corrupted sliding-window layers past the window
+    length. The original parity test (above) never wrapped the ring."""
+    from sink_attention_tpu.serving import (greedy_generate,
+                                            speculative_generate)
+
+    cfg = ModelConfig.tiny(num_layers=2, vocab_size=64, sliding_window=8)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    cfg_d = ModelConfig.tiny(num_layers=1, vocab_size=64, sliding_window=8)
+    params_d = init_params(cfg_d, jax.random.PRNGKey(7), jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, 64)
+    T = 24  # prompt 8 + 24 tokens >> window 8: many wraps
+
+    ref = np.asarray(greedy_generate(params, cfg, ids, max_new_tokens=T,
+                                     dtype=jnp.float32))
+    toks, rate = speculative_generate(params, params_d, cfg, cfg_d, ids, T,
+                                      num_draft_tokens=4, dtype=jnp.float32)
+    assert float(rate) < 4.0  # the unrelated draft really was rejected
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
 def test_beam_search_eos_freezing():
     """With eos_id set, a beam that emits EOS freezes: pad-only extension,
     score stops accumulating, and final normalization uses the frozen
