@@ -71,6 +71,10 @@ def main():
     key = jax.random.PRNGKey(0)
     w = jax.random.normal(key, (K, N), jnp.float32) * 0.02
     packed, scale = pack_int4(w, contract_axis=0)
+    # grouped row: does the repeat+multiply scale application fuse into
+    # the dot's operand read like the nibble decode does, or does it
+    # materialize a [K, N] bf16 tensor (which would halve GB/s)?
+    packed_g, scale_g = pack_int4(w, contract_axis=0, group_size=32)
     packed_ss, scale_ss = pack_signed_sum(w)
     w8 = jnp.clip(jnp.round(w / (jnp.max(jnp.abs(w), axis=0,
                   keepdims=True) / 127.0)), -127, 127).astype(jnp.int8)
@@ -83,6 +87,7 @@ def main():
         b8 = w8.size
         rows = [
             ("prod_nib", chain(int4_matmul), (x, packed, scale), b4),
+            ("grouped32", chain(int4_matmul), (x, packed_g, scale_g), b4),
             ("xla_sum", chain(xla_sum), (x, packed_ss, scale_ss), b4),
             ("int8", chain(int8_ref), (x, w8, s8), b8),
         ]

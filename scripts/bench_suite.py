@@ -540,25 +540,31 @@ if __name__ == "__main__":
     def want(name):
         return only is None or name in only
 
+    def flush():
+        # write after EVERY table: an hour of measurements must not be
+        # lost to a crash in a later table
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(RESULTS, f, indent=1)
+
     if want("prefill"):
-        prefill_table()
+        prefill_table(); flush()
     if want("train"):
-        train_table()
+        train_table(); flush()
     if want("baseline"):
-        baseline_table()
+        baseline_table(); flush()
     if want("decode"):
-        decode_table()
+        decode_table(); flush()
     if (args.engine and only is None) or (only and "engine" in only):
-        engine_table()
+        engine_table(); flush()
     if (args.engine and only is None) or (only and "arrival" in only):
-        engine_arrival_table()
+        engine_arrival_table(); flush()
     if (args.engine and only is None) or (only and "spec" in only):
-        spec_table()
+        spec_table(); flush()
     if (args.engine and only is None) or (only and "beam" in only):
-        beam_table()
+        beam_table(); flush()
     if (args.engine and only is None) or (only and "int4serve" in only):
-        int4serve_table()
+        int4serve_table(); flush()
     if args.json:
-        with open(args.json, "w") as f:
-            json.dump(RESULTS, f, indent=1)
+        flush()
         print(f"wrote {args.json}")

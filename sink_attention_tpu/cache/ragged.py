@@ -281,6 +281,27 @@ class RaggedSinkKVCache:
             window_len=jnp.minimum(self.window_len + ring_adv, W),
             seen=self.seen + adv)
 
+    def append_many_counted(self, k_new: jax.Array, v_new: jax.Array,
+                            counts: jax.Array) -> "RaggedSinkKVCache":
+        """Append T tokens per slot, advancing slot ``b`` by only
+        ``counts[b]`` (traced, 0 <= counts[b] <= T) — the per-slot
+        speculative-decoding commit for the continuous-batching engine.
+
+        ``k_new``/``v_new``: [B, H_kv, T, D]. Token i of slot b is a full
+        no-op when ``i >= counts[b]``: :meth:`append`'s ``active`` gating
+        freezes the scalar ring state AND preserves the touched slot's
+        data (park slot or read-back select), so rejected draft tokens
+        cannot corrupt the oldest live window entry of a full ring —
+        the same guarantee as ``SinkKVCache.append_many_counted``.
+        """
+        T = k_new.shape[2]
+        cache = self
+        for i in range(T):
+            keep = jnp.asarray(i, jnp.int32) < counts   # [B] bool
+            cache = cache.append(k_new[:, :, i:i + 1],
+                                 v_new[:, :, i:i + 1], keep)
+        return cache
+
     # -- reads (eager/test helpers) -----------------------------------------
 
     def dequant_kv(self):

@@ -427,6 +427,31 @@ def decoder_layer(lp: dict, cfg: ModelConfig, x: jax.Array, cos, sin,
     return x + mlp_block(lp["mlp"], cfg, h)
 
 
+def _layer_walk(params: dict, cfg: ModelConfig, x: jax.Array, cos, sin,
+                attn_step, active=None) -> jax.Array:
+    """THE decoder-layer walk: every forward variant routes through here.
+
+    ``attn_step(li, lp, q, k, v) -> attn`` supplies the attention (and, via
+    closure side effects, any cache advance / KV collection policy) for one
+    layer; everything else — norms, QKV projection, RoPE, residuals, MoE —
+    is shared, so a model change (new layer type, bias, norm placement)
+    lands in prefill, decode, ragged decode, and the speculative verify at
+    once instead of silently diverging per-path re-implementations.
+    Returns logits [B, T, V].
+    """
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp["attn"], cfg, h)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = attn_step(li, lp, q, k, v)
+        x = x + _out_proj(lp["attn"], cfg, attn)
+        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + mlp_block(lp["mlp"], cfg, h, active=active)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return _mm(x, params["lm_head"])
+
+
 def forward_prefill(
     params: dict,
     cfg: ModelConfig,
@@ -473,25 +498,18 @@ def forward_prefill(
 
     new_caches = [] if caches is not None else None
     kvs = [] if collect_kv else None
-    for li, lp in enumerate(params["layers"]):
-        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp["attn"], cfg, h)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+
+    def attn_step(li, lp, q, k, v):
         window = cfg.window_for_layer(li, N)
-        attn = attn_impl(
-            q, k, v, num_sink=cfg.num_sink_tokens, window_size=window,
-            s_aux=_s_aux(lp, cfg))
-        x = x + _out_proj(lp["attn"], cfg, attn)
         if caches is not None:
             new_caches.append(caches[li].prefill(k, v))
         if collect_kv:
             kvs.append((k, v))
-        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + mlp_block(lp["mlp"], cfg, h)
+        return attn_impl(
+            q, k, v, num_sink=cfg.num_sink_tokens, window_size=window,
+            s_aux=_s_aux(lp, cfg))
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = _mm(x, params["lm_head"])
+    logits = _layer_walk(params, cfg, x, cos, sin, attn_step)
     return logits, (kvs if collect_kv else new_caches)
 
 
@@ -525,23 +543,15 @@ def forward_decode(
 
     new_caches = []
     kvs = []
-    for li, lp in enumerate(params["layers"]):
-        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp["attn"], cfg, h)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+
+    def attn_step(li, lp, q, k, v):
         cache = caches[li].append(k, v)
-        attn = attn_impl(
-            q, cache, s_aux=_s_aux(lp, cfg))
         new_caches.append(cache)
         if collect_kv:
             kvs.append((k, v))
-        x = x + _out_proj(lp["attn"], cfg, attn)
-        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + mlp_block(lp["mlp"], cfg, h)
+        return attn_impl(q, cache, s_aux=_s_aux(lp, cfg))
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = _mm(x, params["lm_head"])
+    logits = _layer_walk(params, cfg, x, cos, sin, attn_step)
     if collect_kv:
         return logits, new_caches, kvs
     return logits, new_caches
@@ -555,6 +565,7 @@ def forward_decode_ragged(
     positions: jax.Array,
     active: jax.Array,
     interpret: Optional[bool] = None,
+    collect_kv: bool = False,
 ):
     """Ragged single-token decode: per-slot positions and active mask.
 
@@ -562,7 +573,9 @@ def forward_decode_ragged(
     sequence at its own length. input_ids: [B, 1]; positions: [B] int32
     (the global position of this token per slot, for RoPE); active: [B]
     bool. caches: list[RaggedSinkKVCache]. Returns (logits [B, 1, V],
-    new caches).
+    new caches) — plus per-layer (k, v) [B, H_kv, 1, D] when
+    ``collect_kv`` (the engine's speculative draft commits those
+    directly, never re-running the draft model).
     """
     from ..cache.ragged import RaggedSinkKVCache  # noqa: F401 (type)
     from ..ops import sink_decode_attention_ragged
@@ -571,23 +584,94 @@ def forward_decode_ragged(
     cos, sin = rope_cos_sin(cfg, positions[:, None])  # [B, 1, D/2]
 
     new_caches = []
-    for li, lp in enumerate(params["layers"]):
-        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp["attn"], cfg, h)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        cache = caches[li].append(k, v, active)
-        attn = sink_decode_attention_ragged(
-            q, cache, s_aux=_s_aux(lp, cfg),
-            interpret=interpret)
-        new_caches.append(cache)
-        x = x + _out_proj(lp["attn"], cfg, attn)
-        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + mlp_block(lp["mlp"], cfg, h, active=active)
+    kvs = []
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = _mm(x, params["lm_head"])
+    def attn_step(li, lp, q, k, v):
+        cache = caches[li].append(k, v, active)
+        new_caches.append(cache)
+        if collect_kv:
+            kvs.append((k, v))
+        return sink_decode_attention_ragged(
+            q, cache, s_aux=_s_aux(lp, cfg), interpret=interpret)
+
+    logits = _layer_walk(params, cfg, x, cos, sin, attn_step,
+                         active=active)
+    if collect_kv:
+        return logits, new_caches, kvs
     return logits, new_caches
+
+
+def forward_verify_ragged(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    caches: list,
+    interpret: Optional[bool] = None,
+):
+    """Per-slot multi-token verification forward (engine spec decode).
+
+    input_ids: [B, T] — slot b's token i sits at global position
+    ``caches[0].seen[b] + i``. Attends via
+    ``ops.sink_decode_attention_ragged_multi`` against each slot's OWN
+    pre-append ring view; caches are NOT advanced. Returns
+    (logits [B, T, V], per-layer [(k, v)] with k/v [B, H_kv, T, D]) for
+    ``RaggedSinkKVCache.append_many_counted`` commitment. Same
+    :func:`_layer_walk` as every other forward.
+    """
+    from ..ops.decode import sink_decode_attention_ragged_multi
+
+    B, T = input_ids.shape
+    x = _embed_lookup(params["embed"], input_ids)
+    pos = caches[0].seen[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    cos, sin = rope_cos_sin(cfg, pos)
+
+    kvs = []
+
+    def attn_step(li, lp, q, k, v):
+        kvs.append((k, v))
+        return sink_decode_attention_ragged_multi(
+            q, k, v, caches[li], s_aux=_s_aux(lp, cfg))
+
+    logits = _layer_walk(params, cfg, x, cos, sin, attn_step)
+    return logits, kvs
+
+
+def forward_verify(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    caches: List[SinkKVCache],
+    start_pos: jax.Array,
+    interpret: Optional[bool] = None,
+):
+    """Multi-token verification forward (speculative decoding's target pass).
+
+    Runs T draft tokens through the model against the PRE-append rolling
+    caches using the fused multi-token decode attention
+    (``ops.sink_decode_attention_cached_multi``). The caches are NOT
+    advanced — returns (logits [B, T, V], per-layer [(k, v)] with k/v
+    [B, H_kv, T, D]) so the caller commits only the accepted prefix via
+    ``SinkKVCache.append_many_counted``. Shares :func:`_layer_walk` with
+    every other forward, so model changes cannot diverge the verify path
+    from plain decode.
+    """
+    from ..ops.decode import sink_decode_attention_cached_multi
+
+    B, T = input_ids.shape
+    x = _embed_lookup(params["embed"], input_ids)
+    pos = start_pos + jnp.arange(T)
+    cos, sin = rope_cos_sin(cfg, pos)
+
+    kvs = []
+
+    def attn_step(li, lp, q, k, v):
+        kvs.append((k, v))
+        attn, _ = sink_decode_attention_cached_multi(
+            q, k, v, caches[li], s_aux=_s_aux(lp, cfg))
+        return attn
+
+    logits = _layer_walk(params, cfg, x, cos, sin, attn_step)
+    return logits, kvs
 
 
 def make_caches(cfg: ModelConfig, batch: int, max_len: int,

@@ -46,7 +46,8 @@ from .flash import (LANES, NEG_INF, SUBLANES, _cdiv, _default_interpret,
 
 __all__ = ["sink_decode_attention", "sink_decode_attention_cached",
            "sink_decode_attention_cached_multi",
-           "sink_decode_attention_ragged"]
+           "sink_decode_attention_ragged",
+           "sink_decode_attention_ragged_multi"]
 
 
 def _dequant_block(x, quant):
@@ -322,6 +323,81 @@ def sink_decode_attention_ragged(q, cache, s_aux=None,
         sink_cap=cache.sink_cap, window_size=cache.window_size,
         scale=1.0 / (D**0.5), quantized=cache.quant,
         block_s=block_s, interpret=interpret)
+
+
+def sink_decode_attention_ragged_multi(q, k_new, v_new, cache, s_aux=None):
+    """Multi-token decode attention over a ``RaggedSinkKVCache`` — the
+    per-slot speculative-verification op (engine spec-decode path).
+
+    Same math as :func:`sink_decode_attention_cached_multi`, but every
+    scalar of ring state (``sink_len``, ``window_len``, ``write_pos``,
+    ``seen``) is a per-slot [B] vector, so each batch slot verifies its T
+    draft tokens against its OWN pre-append ring view. The cache is NOT
+    advanced — the caller commits each slot's accepted prefix via
+    ``RaggedSinkKVCache.append_many_counted`` with per-slot counts.
+
+    ``q``/``k_new``/``v_new``: [B, H, T, D]. Returns out [B, H_q, T, D].
+    Inactive slots (no valid cached columns) attend only the T new tokens
+    causally — finite junk the engine's active mask discards.
+    """
+    B, H_q, T, D = q.shape
+    H_kv = cache.k.shape[1]
+    assert H_q % H_kv == 0, (H_q, H_kv)
+    assert T <= cache.window_size, (T, cache.window_size)
+    group = H_q // H_kv
+    sc, W = cache.sink_cap, cache.window_size
+    ns = cache.num_sink
+
+    kf, vf = cache.dequant_kv()
+    kf = kf[:, :, :sc + W, :D].astype(jnp.float32)
+    vf = vf[:, :, :sc + W, :D].astype(jnp.float32)
+    kf = jnp.concatenate([kf, k_new.astype(jnp.float32)], axis=2)
+    vf = jnp.concatenate([vf, v_new.astype(jnp.float32)], axis=2)
+
+    # per-slot global positions + validity (the single-token kernel's
+    # circular-age test, vectorized over the batch)
+    sink_idx = jnp.arange(sc, dtype=jnp.int32)
+    sink_valid = sink_idx[None, :] < cache.sink_len[:, None]      # [B,sc]
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    age = (cache.write_pos[:, None] - 1 - w_idx[None, :]) % W     # [B,W]
+    win_pos = cache.seen[:, None] - 1 - age
+    win_valid = age < cache.window_len[:, None]
+    new_pos = cache.seen[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    col_pos = jnp.concatenate(
+        [jnp.broadcast_to(sink_idx[None], (B, sc)), win_pos, new_pos],
+        axis=1)                                                   # [B,S]
+    col_valid = jnp.concatenate(
+        [sink_valid, win_valid, jnp.ones((B, T), bool)], axis=1)
+
+    q_pos = new_pos                                               # [B,T]
+    causal = col_pos[:, None, :] <= q_pos[:, :, None]             # [B,T,S]
+    # always-attended sink term only for columns living in the sink region
+    # (same rationale as the shared-state variant below)
+    sink = jnp.concatenate(
+        [jnp.broadcast_to((sink_idx < ns)[None], (B, sc)),
+         jnp.zeros((B, W + T), bool)], axis=1)[:, None, :]
+    win = col_pos[:, None, :] >= q_pos[:, :, None] - W + 1
+    mask = col_valid[:, None, :] & causal & (sink | win)          # [B,T,S]
+
+    scale = 1.0 / (D ** 0.5)
+    qf = q.astype(jnp.float32).reshape(B, H_kv, group, T, D) * scale
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qf, kf)
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+
+    if s_aux is not None:
+        aux = s_aux.astype(jnp.float32).reshape(1, H_kv, group, 1, 1)
+        aux = jnp.broadcast_to(aux, (B, H_kv, group, T, 1))
+        logits = jnp.concatenate([scores, aux], axis=-1)
+    else:
+        logits = scores
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(jnp.isfinite(logits), jnp.exp(logits - m), 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    w = p[..., :kf.shape[2]] / denom
+    out = jnp.einsum("bhgts,bhsd->bhgtd", w, vf)
+    return out.reshape(B, H_q, T, D).astype(q.dtype)
 
 
 def sink_decode_attention_cached_multi(q, k_new, v_new,

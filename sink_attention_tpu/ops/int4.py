@@ -106,11 +106,16 @@ def _unpack_bf16(packed: jax.Array):
     return lo, hi
 
 
-def _grouped_halves(lo, hi, scale, K2, N, batch_shape=()):
+def _grouped_halves(lo, hi, scale, K2):
     """Apply per-group scales to the decoded halves. ``scale``:
     [..., K/g, N]; row k's group is k//g, and the hi half holds original
-    rows K/2 + k. Returns fp32-scaled bf16 halves (the multiply fuses
-    into the dot's operand read like the convert does)."""
+    rows K/2 + k. Returns scaled bf16 halves — the repeat+multiply fuses
+    into the dot's operand read like the nibble decode does (no [K, N]
+    bf16 tensor is materialized in HBM; see the grouped-vs-per-channel
+    row in scripts/bench_int4_variants.py). Scales are applied in bf16:
+    int4 rounding error (±0.5 quant steps) dwarfs the ~0.4% bf16 scale
+    rounding, and a bf16 multiplicand is what keeps the operand-read
+    fusion on the MXU path."""
     G = scale.shape[-2]
     g = 2 * K2 // G
     s_full = jnp.repeat(scale.astype(jnp.bfloat16), g, axis=-2)
@@ -135,7 +140,7 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
     xb = x.astype(jnp.bfloat16)
     grouped = scale.ndim == 2 and scale.shape[0] > 1
     if grouped:
-        lo, hi = _grouped_halves(lo, hi, scale, K2, N)
+        lo, hi = _grouped_halves(lo, hi, scale, K2)
     acc = jnp.dot(xb[:, :K2], lo, preferred_element_type=jnp.float32)
     acc += jnp.dot(xb[:, K2:], hi, preferred_element_type=jnp.float32)
     if not grouped:
@@ -159,7 +164,7 @@ def int4_matmul_experts(x: jax.Array, packed: jax.Array, scale: jax.Array,
     xb = x.astype(jnp.bfloat16)
     grouped = scale.ndim == 3 and scale.shape[1] > 1
     if grouped:
-        lo, hi = _grouped_halves(lo, hi, scale, K2, N, (E,))
+        lo, hi = _grouped_halves(lo, hi, scale, K2)
     if x.ndim == 3:
         acc = jnp.einsum("etk,ekn->etn", xb[..., :K2], lo,
                          preferred_element_type=jnp.float32)

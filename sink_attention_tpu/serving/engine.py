@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..models.config import ModelConfig
 from ..models.model import (forward_decode_ragged, forward_prefill,
-                            make_ragged_caches)
+                            forward_verify_ragged, make_ragged_caches)
 
 __all__ = ["SamplingParams", "Request", "ContinuousBatchingEngine"]
 
@@ -118,13 +118,29 @@ class ContinuousBatchingEngine:
                  seed: int = 0, streaming: bool = False,
                  candidate_k: int = 64,
                  first_token_cb=None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 draft_params: Optional[dict] = None,
+                 draft_cfg: Optional[ModelConfig] = None,
+                 num_draft_tokens: int = 8):
         """``first_token_cb(rid, token)``: called the moment a request's
         first token is host-visible. Because admission's prefill runs
         BEFORE the decode chunk in device program order, its result is
         fetched before blocking on the chunk — time-to-first-token is one
         prefill plus the remainder of the in-flight chunk, not a full
-        extra chunk."""
+        extra chunk.
+
+        ``draft_params``/``draft_cfg``: enable PER-SLOT speculative
+        decoding inside the continuous-batching pool. Each spec round,
+        one device program drafts ``num_draft_tokens`` greedily per
+        active slot (ragged draft caches), verifies them in ONE ragged
+        multi-token target pass, and commits each slot's accepted prefix
+        with per-slot counts (``RaggedSinkKVCache.append_many_counted``)
+        — slots at different lengths/ring phases accept independently.
+        Output is greedy-identical per slot (the plain-decode guarantee,
+        same bf16 near-tie caveat as ``speculative_generate``); requires
+        greedy sampling. The reference has no serving engine and no
+        speculative loop (only the cache-side multi-token append,
+        reference cache.py:176-183)."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -259,6 +275,142 @@ class ContinuousBatchingEngine:
         self._decode_fn = _decode
         self._decode_chunk_fn = _decode_chunk
 
+        # -- speculative-decoding device programs (draft model present) --
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.num_draft_tokens = num_draft_tokens
+        if draft_params is not None:
+            assert draft_cfg is not None, "draft_cfg required with draft"
+            if self.sampling.temperature > 0.0:
+                raise ValueError(
+                    "speculative decoding requires greedy sampling "
+                    "(engine default temperature must be 0)")
+            self.draft_caches = make_ragged_caches(
+                draft_cfg, max_batch, max_len, dtype=dtype, quant=quant,
+                streaming=streaming)
+            dcfg_ = draft_cfg
+            K = num_draft_tokens
+
+            @jax.jit
+            def _prefill_spec(params, dparams, caches, dcaches, ids,
+                              true_len, slot, key, sp_rows, toks, temps,
+                              topks, topps):
+                """Admission with a draft model: target + draft prefill +
+                on-device first-token argmax, still ONE dispatch."""
+                logits, kvs = forward_prefill(params, cfg_, ids,
+                                              interpret=interp,
+                                              collect_kv=True)
+                for li, (k, v) in enumerate(kvs):
+                    caches[li] = caches[li].insert(slot, k[0], v[0],
+                                                   true_len)
+                _, dkvs = forward_prefill(dparams, dcfg_, ids,
+                                          interpret=interp,
+                                          collect_kv=True)
+                for li, (k, v) in enumerate(dkvs):
+                    dcaches[li] = dcaches[li].insert(slot, k[0], v[0],
+                                                     true_len)
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], true_len - 1, keepdims=False)
+                first = _sample_batch(last[None, :], key, *sp_rows, ck)[0]
+                return (caches, dcaches, first, toks.at[slot].set(first),
+                        temps.at[slot].set(sp_rows[0][0]),
+                        topks.at[slot].set(sp_rows[1][0]),
+                        topps.at[slot].set(sp_rows[2][0]))
+
+            @jax.jit
+            def _clear_spec(caches, dcaches, slot):
+                return ([c.clear(slot) for c in caches],
+                        [c.clear(slot) for c in dcaches])
+
+            @functools.partial(jax.jit, static_argnums=6)
+            def _spec_chunk(params, dparams, caches, dcaches, toks,
+                            active, n_rounds, eos_ids, budgets):
+                """``n_rounds`` speculative rounds for the whole pool in
+                one lax.scan — each round: K ragged draft steps, ONE
+                ragged multi-token target verify, per-slot counted commit
+                to BOTH cache sets. Per-slot EOS/budget truncation edits
+                the commit count itself, so a slot that finishes
+                mid-round neither over-commits KVs nor over-emits.
+                Returns (caches, dcaches, toks, accepted [R,B,K],
+                counts [R,B])."""
+                active = (active & (budgets > 0) &
+                          ~((eos_ids >= 0) & (toks == eos_ids)))
+
+                def round_body(carry, _):
+                    caches, dcaches, toks, act, emitted = carry
+
+                    def dstep(c, _):
+                        dc, cur = c
+                        dl, dc, kvs = forward_decode_ragged(
+                            dparams, dcfg_, cur[:, None], dc, dc[0].seen,
+                            act, interpret=interp, collect_kv=True)
+                        nxt = jnp.argmax(dl[:, -1], -1).astype(jnp.int32)
+                        nxt = jnp.where(act, nxt, cur)
+                        return (dc, nxt), (nxt, kvs)
+
+                    # proposal fork of dcaches is discarded; the commit
+                    # below re-uses the scan's own KVs (for i < count the
+                    # proposal inputs ARE the committed inputs)
+                    _, (draft_kb, dkvs) = jax.lax.scan(
+                        dstep, (dcaches, toks), None, length=K)
+                    draft = draft_kb.T                          # [B, K]
+                    inputs = jnp.concatenate(
+                        [toks[:, None], draft[:, :K - 1]], axis=1)
+                    vlogits, tkvs = forward_verify_ragged(
+                        params, cfg_, inputs, caches, interpret=interp)
+                    greedy = jnp.argmax(vlogits, -1).astype(jnp.int32)
+                    if K > 1:
+                        eq = (greedy[:, :K - 1] ==
+                              draft[:, :K - 1]).astype(jnp.int32)
+                        n_acc = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
+                    else:
+                        n_acc = jnp.zeros_like(toks)
+                    count = n_acc + 1
+                    idx = jnp.arange(K, dtype=jnp.int32)[None]
+                    bonus = jnp.take_along_axis(
+                        greedy, jnp.minimum(n_acc, K - 1)[:, None], axis=1)
+                    accepted = jnp.where(idx < n_acc[:, None], draft,
+                                         bonus)                 # [B, K]
+                    # truncate at the first emitted EOS (inclusive) and
+                    # at the remaining budget; inactive slots commit 0
+                    is_eos = ((eos_ids[:, None] >= 0) &
+                              (accepted == eos_ids[:, None]) &
+                              (idx < count[:, None]))
+                    eos_pos = jnp.argmax(is_eos, axis=1)
+                    has_eos = jnp.any(is_eos, axis=1)
+                    count = jnp.where(has_eos, eos_pos + 1, count)
+                    remaining = jnp.maximum(budgets - emitted, 0)
+                    count = jnp.minimum(count, remaining)
+                    count = jnp.where(act, count, 0)
+                    caches = [c.append_many_counted(k, v, count)
+                              for c, (k, v) in zip(caches, tkvs)]
+                    dcaches = [
+                        c.append_many_counted(
+                            jnp.moveaxis(k[:, :, :, 0, :], 0, 2),
+                            jnp.moveaxis(v[:, :, :, 0, :], 0, 2), count)
+                        for c, (k, v) in zip(dcaches, dkvs)]
+                    emitted = emitted + count
+                    last = jnp.take_along_axis(
+                        accepted, jnp.maximum(count - 1, 0)[:, None],
+                        axis=1)[:, 0]
+                    toks = jnp.where(count > 0, last, toks)
+                    act = (act & ~(has_eos & (eos_pos < count)) &
+                           (emitted < budgets))
+                    return ((caches, dcaches, toks, act, emitted),
+                            (accepted, count))
+
+                emitted0 = jnp.zeros_like(budgets)
+                (caches, dcaches, toks, _, _), (acc, cnt) = jax.lax.scan(
+                    round_body, (caches, dcaches, toks, active, emitted0),
+                    None, length=n_rounds)
+                return caches, dcaches, toks, acc, cnt
+
+            self._prefill_spec_fn = _prefill_spec
+            self._clear_spec_fn = _clear_spec
+            self._spec_chunk_fn = _spec_chunk
+        else:
+            self.draft_caches = None
+
     # -- sampling -----------------------------------------------------------
 
     def _req_sampling(self, req: Request) -> SamplingParams:
@@ -279,6 +431,10 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"top_k={sampling.top_k} exceeds the engine's candidate_k="
                 f"{self.candidate_k}; raise candidate_k at construction")
+        if (self.draft_params is not None and sampling is not None and
+                sampling.temperature > 0.0):
+            raise ValueError(
+                "speculative engine serves greedy requests only")
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(Request(rid, list(prompt), max_new_tokens,
@@ -312,11 +468,20 @@ class ContinuousBatchingEngine:
                        jnp.asarray([sp.top_k], jnp.int32),
                        jnp.asarray([sp.top_p], jnp.float32))
             self.key, sub = jax.random.split(self.key)
-            (self.caches, first, self.toks, self._temps, self._topks,
-             self._topps) = self._prefill_fn(
-                self.params, self.caches, ids, jnp.int32(n),
-                jnp.int32(slot), sub, sp_rows, self.toks, self._temps,
-                self._topks, self._topps)
+            if self.draft_params is not None:
+                (self.caches, self.draft_caches, first, self.toks,
+                 self._temps, self._topks, self._topps) = \
+                    self._prefill_spec_fn(
+                        self.params, self.draft_params, self.caches,
+                        self.draft_caches, ids, jnp.int32(n),
+                        jnp.int32(slot), sub, sp_rows, self.toks,
+                        self._temps, self._topks, self._topps)
+            else:
+                (self.caches, first, self.toks, self._temps, self._topks,
+                 self._topps) = self._prefill_fn(
+                    self.params, self.caches, ids, jnp.int32(n),
+                    jnp.int32(slot), sub, sp_rows, self.toks, self._temps,
+                    self._topks, self._topps)
             self._pending_first[slot] = first
             self._slots[slot] = req
 
@@ -354,6 +519,13 @@ class ContinuousBatchingEngine:
                 len(req.tokens) >= req.max_new_tokens):
             req.done = True
             self._slots[slot] = None
+            self._clear_slot_caches(slot)
+
+    def _clear_slot_caches(self, slot: int):
+        if self.draft_params is not None:
+            self.caches, self.draft_caches = self._clear_spec_fn(
+                self.caches, self.draft_caches, jnp.int32(slot))
+        else:
             self.caches = self._clear_fn(self.caches, jnp.int32(slot))
 
     def step(self) -> Dict[int, int]:
@@ -442,7 +614,62 @@ class ContinuousBatchingEngine:
                     break
             if req.done:
                 self._slots[slot] = None
-                self.caches = self._clear_fn(self.caches, jnp.int32(slot))
+                self._clear_slot_caches(slot)
+        return out
+
+    def step_spec_chunk(self, rounds: int) -> Dict[int, List[int]]:
+        """Admit + ``rounds`` speculative rounds for the whole pool in one
+        device round-trip (requires a draft model).
+
+        Each round emits 1..num_draft_tokens tokens per active slot
+        (greedy-identical to plain decode); EOS/budget truncation happens
+        ON DEVICE in the commit counts, so host bookkeeping just unpacks
+        ``counts[r, slot]`` accepted tokens per round.
+
+        Returns {rid: [tokens kept this chunk]}.
+        """
+        assert self.draft_params is not None, "no draft model configured"
+        self._admit()
+        active_py = [r is not None for r in self._slots]
+        if not any(active_py):
+            return {}
+        active = jnp.asarray(active_py)
+        pend = set(self._pending_first)
+        eos_ids = jnp.asarray(
+            [(r.eos_id if r is not None and r.eos_id is not None else -1)
+             for r in self._slots], jnp.int32)
+        budgets = jnp.asarray(
+            [(max(r.max_new_tokens - len(r.tokens) -
+                  (1 if s in pend else 0), 0) if r is not None
+              else 0) for s, r in enumerate(self._slots)], jnp.int32)
+        (self.caches, self.draft_caches, self.toks, acc, cnt) = \
+            self._spec_chunk_fn(self.params, self.draft_params,
+                                self.caches, self.draft_caches, self.toks,
+                                active, rounds, eos_ids, budgets)
+        out: Dict[int, List[int]] = {}
+        for _slot, (req, tok) in self._flush_pending().items():
+            out[req.rid] = [tok]
+        acc_host = jax.device_get(acc)   # [R, B, K]
+        cnt_host = jax.device_get(cnt)   # [R, B]
+        for slot, is_active in enumerate(active_py):
+            req = self._slots[slot]
+            if not is_active or req is None:  # None: finished by its first
+                continue
+            kept = out.setdefault(req.rid, [])
+            for r in range(acc_host.shape[0]):
+                for tok in (int(t) for t in
+                            acc_host[r, slot, :int(cnt_host[r, slot])]):
+                    req.tokens.append(tok)
+                    kept.append(tok)
+                    if ((req.eos_id is not None and tok == req.eos_id) or
+                            len(req.tokens) >= req.max_new_tokens):
+                        req.done = True
+                        break
+                if req.done:
+                    break
+            if req.done:
+                self._slots[slot] = None
+                self._clear_slot_caches(slot)
         return out
 
     def run(self, chunk: Optional[int] = None) -> Dict[int, List[int]]:
@@ -481,7 +708,11 @@ class ContinuousBatchingEngine:
                     n *= 2
             else:
                 n = chunk
-            if n > 1:
+            if self.draft_params is not None:
+                # a spec round emits >= 1 token/slot: n rounds bound the
+                # same budget n plain steps do, usually in far fewer
+                self.step_spec_chunk(max(1, n // 2))
+            elif n > 1:
                 self.step_chunk(n)
             else:
                 self.step()

@@ -102,6 +102,20 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
     reorder gather, and its length is pinned for the final HF-style
     ``score / len**length_penalty`` normalization. Without ``eos_id`` the
     behavior is unchanged (all beams run max_new_tokens).
+
+    EOS semantics deliberately diverge from HF's ``BeamSearchScorer``:
+    finished hypotheses compete **in-slot** among the K live beams (no
+    separate banked-hypothesis pool drawing from 2K candidates), so a
+    completed hypothesis can be evicted by K transiently higher-scoring
+    live beams. This keeps the whole search a fixed-shape device loop —
+    no host-side pool — at the cost of occasionally returning a worse
+    hypothesis than HF would in that (rare) crossing pattern.
+
+    Loop mechanics: a ``lax.while_loop`` (not a fixed-length scan) that
+    exits as soon as EVERY beam is frozen, and a ``lax.cond`` that skips
+    the per-layer cache reorder whenever the beam->slot permutation is
+    the identity — the steady state once beams stabilize or freeze — so
+    a search that finishes early costs no further decode steps at all.
     """
     B, N = input_ids.shape
     V = cfg.vocab_size
@@ -132,7 +146,7 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
     # a frozen beam's only candidate: pad_id at logp 0 (score unchanged)
     frozen_logp = jnp.full((V,), -jnp.inf, jnp.float32).at[pad_id].set(0.0)
 
-    def step(carry, _):
+    def step(carry):
         caches, toks, scores, pos, seqs, fin, glen, t = carry
         # toks: [B*K]; scores/fin/glen: [B, K]; seqs: [B, K, T]
         logits, caches = forward_decode(params, cfg, toks[:, None], caches,
@@ -154,24 +168,39 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
             new_fin = was_fin
         glen = jnp.take_along_axis(glen, src_beam, axis=1) + jnp.where(
             was_fin, 0, 1)
-        # reorder caches and histories by source beam (flattened indices)
+        # reorder caches and histories by source beam (flattened indices).
+        # The reorder moves every layer's KV rows, so skip it outright
+        # when the permutation is the identity (each beam extends itself
+        # — the steady state once beams stabilize, and always true once
+        # all beams are frozen).
         gather_idx = (jnp.arange(B, dtype=jnp.int32)[:, None] * K +
                       src_beam).reshape(-1)            # [B*K]
-        caches = [c.reorder(gather_idx) for c in caches]
+        identity = jnp.all(src_beam ==
+                           jnp.arange(K, dtype=jnp.int32)[None, :])
+        caches = jax.lax.cond(
+            identity, lambda cs: cs,
+            lambda cs: [c.reorder(gather_idx) for c in cs], caches)
         seqs = jnp.take_along_axis(seqs, src_beam[..., None], axis=1)
         seqs = jax.lax.dynamic_update_index_in_dim(
             seqs, new_tok, t, axis=2)
-        return ((caches, new_tok.reshape(-1), new_scores, pos + 1, seqs,
-                 new_fin, glen, t + 1), None)
+        return (caches, new_tok.reshape(-1), new_scores, pos + 1, seqs,
+                new_fin, glen, t + 1)
 
-    seqs0 = jnp.zeros((B, K, max_new_tokens), jnp.int32)
+    # pad_id-filled so an early exit (all beams frozen) leaves the tail
+    # of every sequence at pad, exactly as the frozen extensions would
+    seqs0 = jnp.full((B, K, max_new_tokens), pad_id, jnp.int32)
     seqs0 = jax.lax.dynamic_update_index_in_dim(seqs0, beam_tok, 0, axis=2)
     glen0 = jnp.ones((B, K), jnp.int32)
     carry = (caches, beam_tok.reshape(-1), beam_scores, jnp.int32(N), seqs0,
              finished0, glen0, jnp.int32(1))
+
+    def keep_going(carry):
+        fin, t = carry[5], carry[7]
+        return jnp.logical_and(t < max_new_tokens, ~jnp.all(fin))
+
     if max_new_tokens > 1:
-        (caches, _, beam_scores, _, seqs, _, glen, _), _ = jax.lax.scan(
-            step, carry, length=max_new_tokens - 1)
+        (caches, _, beam_scores, _, seqs, _, glen, _) = jax.lax.while_loop(
+            keep_going, step, carry)
     else:
         seqs, glen = seqs0, glen0
     final = beam_scores / (glen.astype(jnp.float32) ** length_penalty)
@@ -225,7 +254,8 @@ def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
     cache.py:176-183) but has no speculative loop. Returns
     (tokens [B, max_new_tokens], acceptance_rate [scalar]).
     """
-    from ..models.model import forward_decode, forward_prefill, make_caches
+    from ..models.model import (forward_decode, forward_prefill,
+                                forward_verify, make_caches)
 
     B, N = input_ids.shape
     assert B == 1, "speculative loop is per-sequence (B=1)"
@@ -265,7 +295,7 @@ def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
 
         # 2. target verifies [tok, draft[:-1]] in one multi-token pass
         inputs = jnp.concatenate([tok, draft[:K - 1]])[None]  # [1, K]
-        vlogits, tkvs = _forward_multi(params_target, cfg_target, inputs,
+        vlogits, tkvs = forward_verify(params_target, cfg_target, inputs,
                                        tcaches, pos, interpret=interpret)
         greedy = jnp.argmax(vlogits[0], axis=-1).astype(jnp.int32)  # [K]
 
@@ -310,35 +340,3 @@ def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
     return toks, rate
 
 
-def _forward_multi(params, cfg, input_ids, caches, start_pos,
-                   interpret=None):
-    """Model forward over T tokens against rolling caches using the fused
-    multi-token decode attention. The caches are NOT advanced — returns
-    (logits [B,T,V], per-layer [(k, v)]) so the caller commits the
-    accepted prefix via ``SinkKVCache.append_many_counted``."""
-    from ..models.model import (_embed_lookup, _mm, _out_proj, _qkv,
-                                _s_aux, apply_rope, mlp_block, rms_norm,
-                                rope_cos_sin)
-    from ..ops.decode import sink_decode_attention_cached_multi
-
-    B, T = input_ids.shape
-    x = _embed_lookup(params["embed"], input_ids)
-    pos = start_pos + jnp.arange(T)
-    cos, sin = rope_cos_sin(cfg, pos)
-
-    kvs = []
-    for li, lp in enumerate(params["layers"]):
-        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp["attn"], cfg, h)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        attn, _ = sink_decode_attention_cached_multi(
-            q, k, v, caches[li], s_aux=_s_aux(lp, cfg))
-        kvs.append((k, v))
-        x = x + _out_proj(lp["attn"], cfg, attn)
-        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + mlp_block(lp["mlp"], cfg, h)
-
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = _mm(x, params["lm_head"])
-    return logits, kvs

@@ -434,3 +434,86 @@ def test_engine_eos_on_first_token():
         out = eng.run(chunk=chunk)
         assert out[rid] == [first], (chunk, out[rid], first)
         assert eng.active_count == 0 and not eng._queue
+
+
+def test_engine_speculative_matches_sequential_greedy():
+    """Per-slot speculative decoding inside the continuous-batching pool:
+    >= 2 concurrent slots, different prompt lengths, sequences running
+    past the sliding window (ring wrap + per-slot counted commits), output
+    greedy-identical to the plain sequential path (fp32 => exact)."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import (ContinuousBatchingEngine,
+                                            greedy_generate)
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=3)
+    cfg_d = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                             hidden_size=32, num_experts=2,
+                             sliding_window=16, vocab_size=64, num_layers=1)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    # draft = layer 0 of the target (deliberately imperfect: layers 1-2
+    # damped so acceptance is partial, exercising mid-draft rejection)
+    params["layers"] = [params["layers"][0]] + [
+        jax.tree.map(lambda x: x * 0.3, l) for l in params["layers"][1:]]
+    dparams = {k: v for k, v in params.items() if k != "layers"}
+    dparams["layers"] = [params["layers"][0]]
+
+    prompts = [[5, 9, 2], [7, 1, 30, 11, 8, 4, 22], [3] * 20]
+    new_tokens = 24  # prompt + new > window=16 -> ring wraps mid-spec
+
+    expected = {}
+    for i, p in enumerate(prompts):
+        ids = jnp.asarray(p, jnp.int32)[None]
+        toks = greedy_generate(params, cfg, ids, new_tokens,
+                               dtype=jnp.float32)
+        expected[i] = [int(t) for t in np.asarray(toks[0])]
+
+    # 2 slots for 3 requests: slot recycling while the other slot keeps
+    # speculating at its own length/ring phase
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=2, max_len=64,
+                                   prefill_bucket=16, dtype=jnp.float32,
+                                   draft_params=dparams, draft_cfg=cfg_d,
+                                   num_draft_tokens=4)
+    rids = {eng.submit(p, max_new_tokens=new_tokens): i
+            for i, p in enumerate(prompts)}
+    results = eng.run()
+
+    assert set(results) == set(rids)
+    for rid, i in rids.items():
+        assert results[rid] == expected[i], (
+            i, results[rid], expected[i])
+
+
+def test_engine_speculative_eos_truncates_commit():
+    """A draft-accepted EOS mid-round must stop the slot exactly there:
+    emitted tokens equal the plain path's, nothing past EOS is kept."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import (ContinuousBatchingEngine,
+                                            greedy_generate)
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    cfg_d = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                             hidden_size=32, num_experts=2,
+                             sliding_window=16, vocab_size=64, num_layers=1)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    dparams = {k: v for k, v in params.items() if k != "layers"}
+    dparams["layers"] = [params["layers"][0]]
+
+    prompt = [5, 9, 2, 17]
+    ids = jnp.asarray(prompt, jnp.int32)[None]
+    ref = [int(t) for t in np.asarray(
+        greedy_generate(params, cfg, ids, 16, dtype=jnp.float32)[0])]
+    # pick the 4th greedy token as "EOS" so it lands mid-draft-window
+    eos = ref[3]
+    want = ref[:4]
+
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=2, max_len=64,
+                                   prefill_bucket=16, dtype=jnp.float32,
+                                   draft_params=dparams, draft_cfg=cfg_d,
+                                   num_draft_tokens=4)
+    rid = eng.submit(prompt, max_new_tokens=16, eos_id=eos)
+    results = eng.run()
+    assert results[rid] == want, (results[rid], want)
