@@ -80,8 +80,65 @@ def main():
     params, opt_state, loss = step(params, opt_state, batch)
     loss_val = float(jax.device_get(loss))
 
+    # 3) ring attention across the 2-process topology vs the eager oracle
+    # (each process derives the same full reference from the shared seed;
+    # the ring output is forced replicated so both hosts can read it).
+    # n_local=8 < window-reach -> 3 of 4 rotations + the broadcast sink
+    # phase, i.e. the skip-ahead schedule's every branch crosses the
+    # process boundary.
+    from jax.sharding import Mesh
+    from sink_attention_tpu.ops.reference import eager_sink_attention
+    from sink_attention_tpu.parallel.ring import ring_sink_flash_attention
+
+    B, H, N, D, ns, W = 1, 2, 32, 8, 2, 12
+    rng = np.random.default_rng(7)
+    qkv_np = [rng.standard_normal((B, H, N, D)).astype(np.float32)
+              for _ in range(3)]
+    aux_np = rng.standard_normal((H,)).astype(np.float32)
+    ring_mesh = Mesh(np.asarray(jax.devices()).reshape(4), ("seq",))
+    seq_sh = NamedSharding(ring_mesh, P(None, None, "seq", None))
+    qkv = [jax.make_array_from_callback(
+        a.shape, seq_sh, lambda idx, a=a: a[idx]) for a in qkv_np]
+    aux = jax.make_array_from_callback(
+        aux_np.shape, NamedSharding(ring_mesh, P()),
+        lambda idx: aux_np[idx])
+    ring = jax.jit(
+        jax.shard_map(
+            lambda q, k, v, a: ring_sink_flash_attention(
+                q, k, v, num_sink=ns, window_size=W, s_aux=a,
+                axis_name="seq", interpret=True),
+            mesh=ring_mesh,
+            in_specs=(P(None, None, "seq", None),) * 3 + (P(),),
+            out_specs=P(None, None, "seq", None)),
+        out_shardings=NamedSharding(ring_mesh, P()))
+    ring_out = ring(*qkv, aux)
+    ref = eager_sink_attention(*qkv_np, ns, W, s_aux=aux_np)
+    ring_err = float(np.max(np.abs(np.asarray(ring_out) -
+                                   np.asarray(ref))))
+
+    # 4) TP-sharded decode: serving/sharded.py generate over the 2x2
+    # mesh's process-local 'model' axis vs the single-device greedy path
+    # (run process-locally — same seed, same params)
+    from sink_attention_tpu.serving import greedy_generate
+    from sink_attention_tpu.serving.sharded import make_sharded_generate
+
+    ids = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
+    p_sh, tp_gen = make_sharded_generate(cfg, mesh, dtype=jnp.float32,
+                                         interpret=True)
+    params_tp = jax.jit(
+        lambda: init_params(cfg, jax.random.PRNGKey(0), jnp.float32),
+        out_shardings=p_sh)()
+    tp_toks = np.asarray(jax.jit(
+        tp_gen, static_argnums=2,
+        out_shardings=NamedSharding(mesh, P()))(params_tp, ids, 6))
+    params_local = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    ref_toks = np.asarray(greedy_generate(params_local, cfg, ids, 6,
+                                          dtype=jnp.float32))
+    tp_match = bool((tp_toks == ref_toks).all())
+
     with open(out_path, "w") as f:
         json.dump({"process": pid, "psum": psum_val, "loss": loss_val,
+                   "ring_err": ring_err, "tp_match": tp_match,
                    "n_processes": jax.process_count(),
                    "n_devices": len(jax.devices())}, f)
 

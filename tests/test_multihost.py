@@ -60,5 +60,9 @@ def test_two_process_mesh_psum_and_train_step(tmp_path):
         assert r["n_processes"] == 2 and r["n_devices"] == 4
         assert r["psum"] == pytest.approx(6.0)  # 0+1+2+3
         assert math.isfinite(r["loss"])
+        # ring attention across the process boundary == eager oracle
+        assert r["ring_err"] < 2e-5, r["ring_err"]
+        # TP-sharded serving decode == single-device greedy
+        assert r["tp_match"], r
     # bitwise-identical loss on both controllers (same global program)
     assert results[0]["loss"] == results[1]["loss"]
