@@ -14,6 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import datetime
 import json
 import gc
 import time
@@ -47,6 +48,7 @@ def qkv(N, dtype=jnp.bfloat16):
 
 
 def prefill_table():
+    RESULTS["prefill"] = []
     print("\n=== Prefill forward (bf16, GQA 32/8, D=128, sink=4, W=4096) ===")
     print(f"{'N':>7} {'ms':>8} {'TFLOP/s':>9} {'MFU%':>6} {'ref H200 ms':>12}")
     # 64K/128K rows: the long-context regime where O(N*(sink+W)) wins —
@@ -70,6 +72,7 @@ def prefill_table():
 
 
 def train_table():
+    RESULTS["train"] = []
     print("\n=== Training fwd+bwd (bf16) ===")
     print(f"{'N':>7} {'ms':>8} {'ref H200 ms':>12}")
     for N in [8192, 16384]:
@@ -163,6 +166,7 @@ def decode_table():
     appended KV, and output are negligible. %roof = that byte count /
     measured step time / the chip's HBM bandwidth (the TPU analog of the
     reference's decode tables, reference README.md:322-349)."""
+    RESULTS["decode"] = []
     from sink_attention_tpu.utils import V5E_HBM_BW
 
     print("\n=== Decode step: cache append + attention (B=1, GQA 32/8, "
@@ -228,6 +232,7 @@ def engine_table():
     tokens/s/chip/layer extrapolates. The reference has no serving
     throughput numbers (and no continuous batching) to compare against.
     """
+    RESULTS["engine"] = []
     from sink_attention_tpu.models import ModelConfig, init_params
     from sink_attention_tpu.serving import ContinuousBatchingEngine
 
@@ -533,9 +538,16 @@ if __name__ == "__main__":
                          "spec)")
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    RESULTS["device"] = jax.devices()[0].device_kind
-    RESULTS["engine"] = []
     only = args.only.split(",") if args.only else None
+    if args.json and only and os.path.exists(args.json):
+        # partial run (--only): update the existing file in place instead
+        # of clobbering the tables we are not re-measuring
+        with open(args.json) as f:
+            RESULTS.update(json.load(f))
+    RESULTS["device"] = jax.devices()[0].device_kind
+    RESULTS["date"] = datetime.date.today().isoformat()
+    if "engine" not in RESULTS:
+        RESULTS["engine"] = []
 
     def want(name):
         return only is None or name in only

@@ -66,6 +66,12 @@ def quantize(x: jax.Array, quant: str, axis: int = -1):
     else:
         f8 = jnp.clip(scaled, -qmax, qmax).astype(jnp.float8_e4m3fn)
         codes = jax.lax.bitcast_convert_type(f8, jnp.int8)
+        # Flush e4m3 subnormals (magnitude bits < 8, i.e. |x| < 2^-6 of
+        # the per-token scale — ≤3.5e-5 of the row max) to zero: the
+        # decode kernel's shift-add e4m3->bf16 construction is exact for
+        # normals only (ops/decode.py _dequant_block), so keeping codes
+        # normal-or-zero makes the kernel and dequantize() bit-identical.
+        codes = jnp.where((codes & 0x7F) >= 8, codes, jnp.int8(0))
     return codes, scale
 
 

@@ -606,9 +606,11 @@ def forward_verify_ragged(
     cfg: ModelConfig,
     input_ids: jax.Array,
     caches: list,
-    interpret: Optional[bool] = None,
 ):
     """Per-slot multi-token verification forward (engine spec decode).
+
+    (No ``interpret`` parameter: the ragged multi-token verify op is pure
+    XLA, not a Pallas kernel — there is no interpreter mode to select.)
 
     input_ids: [B, T] — slot b's token i sits at global position
     ``caches[0].seen[b] + i``. Attends via
@@ -642,9 +644,11 @@ def forward_verify(
     input_ids: jax.Array,
     caches: List[SinkKVCache],
     start_pos: jax.Array,
-    interpret: Optional[bool] = None,
 ):
     """Multi-token verification forward (speculative decoding's target pass).
+
+    (No ``interpret`` parameter: the multi-token verify op is pure XLA,
+    not a Pallas kernel — there is no interpreter mode to select.)
 
     Runs T draft tokens through the model against the PRE-append rolling
     caches using the fused multi-token decode attention

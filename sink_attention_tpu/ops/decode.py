@@ -54,14 +54,32 @@ def _dequant_block(x, quant):
     """In-kernel decode of a stored KV tile to bf16.
 
     int8: one convert pass. fp8: the int8 tile holds float8_e4m3fn bit
-    patterns (cache.sink_cache.QUANT_DTYPE) — bitcast (free, layout-only)
-    then one convert pass; fp8-dtype buffers themselves are avoided
-    because pre-v6 TPUs have no native fp8 path (an fp8-dtype cache
-    measured 4.1x slower than bf16 on v5e; bits-in-int8 restores parity
-    with the int8 path).
+    patterns (cache.sink_cache.QUANT_DTYPE; fp8-dtype buffers themselves
+    are avoided because pre-v6 TPUs have no native fp8 path — an
+    fp8-dtype cache measured 4.1x slower than bf16 on v5e). The e4m3
+    decode is integer shift-add, NOT a float convert: Mosaic lowers
+    fp8->bf16 `astype` through a slow scalarized path on v5e (measured
+    3x the whole decode step, round-4 bench `decode` rows), while
+    bf16 bits are constructible exactly from e4m3 bits:
+
+        bf16_bits = sign<<15 | (e4m3_exp + (127-7))<<7 | e4m3_mant<<4
+                  = ((bits & 0x7F) << 4) + 0x3C00  |  (bits & 0x80) << 8
+
+    valid for every NORMAL e4m3 value (the +0x3C00 re-bias never
+    carries into the sign bit since mant<<4 < 128). Subnormals
+    (magnitude bits < 8) do not satisfy the formula — the quantizer
+    flushes them to zero at encode (cache.sink_cache.quantize), so the
+    in-kernel select maps them to 0 exactly. Measured 0.057 ms/step vs
+    int8's 0.053 at the headline decode config (was 0.158 with the
+    fp8 `astype`).
     """
     if quant == "fp8":
-        x = pltpu.bitcast(x, jnp.float8_e4m3fn)
+        u = x.astype(jnp.int32) & 0xFF
+        mag = u & 0x7F
+        bits = jnp.where(mag >= 8,
+                         ((mag << 4) + 0x3C00) | ((u & 0x80) << 8), 0)
+        return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16),
+                                            jnp.bfloat16)
     return x.astype(jnp.bfloat16)
 
 
@@ -92,9 +110,18 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
         k = k_ref[0]  # [block_s, d_pad] (possibly quantized storage)
         g_pad = q.shape[0]
         kc = _dequant_block(k, quantized) if quantized else k
+        # precision pinned per operand dtype, NOT inherited from the
+        # caller's jax.default_matmul_precision context: Mosaic rejects a
+        # HIGHEST-precision contract on bf16 operands ("Bad lhs type"), so
+        # a quantized decode under default_matmul_precision("highest")
+        # would fail to compile. bf16 operands already use the MXU's full
+        # bf16 path; fp32 operands keep HIGHEST for exactness.
+        prec = (jax.lax.Precision.DEFAULT if kc.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
         s = jax.lax.dot_general(
             q.astype(kc.dtype), kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [g_pad, block_s]
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale  # [g_pad, block_s]
         if quantized:
             s = s * ks_ref[0, 0][None, :]
 
@@ -128,7 +155,10 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
             p = p * vs_ref[0, 0][None, :]
         pv = jax.lax.dot_general(
             p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.DEFAULT
+                       if vc.dtype == jnp.bfloat16
+                       else jax.lax.Precision.HIGHEST))
         acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(step == steps - 1)
@@ -154,12 +184,14 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
     g_pad = _round_up(group, 16)
 
     if block_s is None:
-        # Largest 128-multiple divisor of s_total up to 1024: per-grid-step
-        # overhead dominates this kernel (the headline 4224-slot cache ran
-        # 33 steps/head at block_s=128; 384 -> 11), so fewer, bigger steps
-        # win until VMEM.
+        # Largest 128-multiple divisor of s_total up to 4096: per-grid-step
+        # overhead dominates this kernel, so fewer, bigger steps win until
+        # VMEM (4096 x 128 x 2B x 2 bufs x 2 double-buffered = 4 MB).
+        # Measured at the headline 4224-slot cache (B=1, GQA 32/8, bf16):
+        # block_s=128 (33 steps) 0.11 ms; 384 (11) 0.054; 1408 (3) 0.019 —
+        # ~920 GB/s, at the chip's HBM roofline.
         block_s = LANES
-        for cand in range(1024, LANES - 1, -LANES):
+        for cand in range(4096, LANES - 1, -LANES):
             if s_total % cand == 0:
                 block_s = cand
                 break

@@ -357,7 +357,7 @@ class ContinuousBatchingEngine:
                     inputs = jnp.concatenate(
                         [toks[:, None], draft[:, :K - 1]], axis=1)
                     vlogits, tkvs = forward_verify_ragged(
-                        params, cfg_, inputs, caches, interpret=interp)
+                        params, cfg_, inputs, caches)
                     greedy = jnp.argmax(vlogits, -1).astype(jnp.int32)
                     if K > 1:
                         eq = (greedy[:, :K - 1] ==
@@ -528,6 +528,18 @@ class ContinuousBatchingEngine:
         else:
             self.caches = self._clear_fn(self.caches, jnp.int32(slot))
 
+    def _check_not_speculative(self, name):
+        # Plain steps advance only the target caches; on a speculative
+        # engine that permanently desyncs the draft caches from the
+        # slots' real positions (output would stay greedy-correct, but
+        # every later draft would propose from stale state and
+        # speculation throughput would silently collapse).
+        if self.draft_params is not None:
+            raise RuntimeError(
+                f"{name}() is unsupported on a speculative engine (it "
+                f"would desync the draft caches) — use step_spec_chunk() "
+                f"or run()")
+
     def step(self) -> Dict[int, int]:
         """Admit + one decode step for all active slots.
 
@@ -535,6 +547,7 @@ class ContinuousBatchingEngine:
         very call that is two tokens (deferred first + decoded); the dict
         carries the latest, both land in the request's token list.
         """
+        self._check_not_speculative("step")
         self._admit()
         active_py = [r is not None for r in self._slots]
         if not any(active_py):
@@ -572,6 +585,7 @@ class ContinuousBatchingEngine:
 
         Returns {rid: [tokens kept this chunk]}.
         """
+        self._check_not_speculative("step_chunk")
         self._admit()
         active_py = [r is not None for r in self._slots]
         if not any(active_py):
@@ -743,11 +757,19 @@ class ContinuousBatchingEngine:
         # caches go as flat leaves: orbax restores flax.struct nodes as
         # plain dicts, so the loader unflattens against the fresh
         # engine's own treedef instead
-        checkpoint.save(path, {
+        state = {
             "cache_leaves": jax.tree_util.tree_leaves(self.caches),
             "toks": self.toks, "key": self.key,
             "temps": self._temps, "topks": self._topks,
-            "topps": self._topps})
+            "topps": self._topps}
+        if self.draft_params is not None:
+            # a speculative engine restored without its draft-cache ring
+            # state would still be greedy-correct (acceptance verifies
+            # against the target) but would draft from garbage, silently
+            # collapsing speculation throughput after resume
+            state["draft_cache_leaves"] = jax.tree_util.tree_leaves(
+                self.draft_caches)
+        checkpoint.save(path, state)
         meta = {
             "next_rid": self._next_rid,
             "slots": [dataclasses.asdict(r) if r is not None else None
@@ -767,6 +789,17 @@ class ContinuousBatchingEngine:
         treedef = jax.tree_util.tree_structure(self.caches)
         self.caches = jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(x) for x in state["cache_leaves"]])
+        if self.draft_params is not None:
+            if "draft_cache_leaves" not in state:
+                raise ValueError(
+                    "snapshot has no draft-cache state but this engine is "
+                    "speculative — it was saved by a non-speculative "
+                    "engine (or an older version); restore into an engine "
+                    "built with the same draft_params")
+            dtreedef = jax.tree_util.tree_structure(self.draft_caches)
+            self.draft_caches = jax.tree_util.tree_unflatten(
+                dtreedef,
+                [jnp.asarray(x) for x in state["draft_cache_leaves"]])
         self.toks = jnp.asarray(state["toks"])
         self.key = jnp.asarray(state["key"])
         self._temps = jnp.asarray(state["temps"])

@@ -296,7 +296,7 @@ def speculative_generate(params_target, params_draft, cfg_target, cfg_draft,
         # 2. target verifies [tok, draft[:-1]] in one multi-token pass
         inputs = jnp.concatenate([tok, draft[:K - 1]])[None]  # [1, K]
         vlogits, tkvs = forward_verify(params_target, cfg_target, inputs,
-                                       tcaches, pos, interpret=interpret)
+                                       tcaches, pos)
         greedy = jnp.argmax(vlogits[0], axis=-1).astype(jnp.int32)  # [K]
 
         # 3. longest accepted prefix + one free token from verification

@@ -517,3 +517,80 @@ def test_engine_speculative_eos_truncates_commit():
     rid = eng.submit(prompt, max_new_tokens=16, eos_id=eos)
     results = eng.run()
     assert results[rid] == want, (results[rid], want)
+
+
+def test_engine_speculative_checkpoint_resume(tmp_path):
+    """save_state on a speculative engine must snapshot the DRAFT caches
+    too: a resume with construction-time draft rings would stay
+    greedy-correct but draft from garbage (advisor round-4 finding).
+    Interrupt mid-serving, restore into a fresh speculative engine, and
+    require (a) identical final tokens and (b) the restored draft-cache
+    ring state equals the uninterrupted engine's at the same point."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    cfg_d = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                             hidden_size=32, num_experts=2,
+                             sliding_window=16, vocab_size=64, num_layers=1)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    dparams = {k: v for k, v in params.items() if k != "layers"}
+    dparams["layers"] = [params["layers"][0]]
+    kw = dict(max_batch=2, max_len=64, prefill_bucket=16, dtype=jnp.float32,
+              draft_params=dparams, draft_cfg=cfg_d, num_draft_tokens=4)
+    prompts = [[5, 9, 2], [7, 1, 30, 11]]
+
+    # uninterrupted
+    eng_a = ContinuousBatchingEngine(params, cfg, **kw)
+    ra = [eng_a.submit(p, max_new_tokens=12) for p in prompts]
+    eng_a.step_spec_chunk(2)
+    rest_a = eng_a.run()
+
+    # interrupted after the same 2 spec rounds -> snapshot -> fresh engine
+    eng_b = ContinuousBatchingEngine(params, cfg, **kw)
+    rb = [eng_b.submit(p, max_new_tokens=12) for p in prompts]
+    eng_b.step_spec_chunk(2)
+    eng_b.save_state(str(tmp_path / "spec_snap"))
+
+    eng_c = ContinuousBatchingEngine(params, cfg, **kw)
+    eng_c.load_state(str(tmp_path / "spec_snap"))
+    for want, got in zip(
+            jax.tree_util.tree_leaves(eng_b.draft_caches),
+            jax.tree_util.tree_leaves(eng_c.draft_caches)):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    rest_c = eng_c.run()
+
+    for a, b in zip(ra, rb):
+        assert rest_a[a] == rest_c[b], (rest_a[a], rest_c[b])
+
+
+def test_engine_speculative_rejects_plain_steps():
+    """step()/step_chunk() advance only the target caches, permanently
+    desyncing the draft rings — a speculative engine must refuse them
+    (advisor round-4 finding)."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.serving import ContinuousBatchingEngine
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=2)
+    cfg_d = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                             hidden_size=32, num_experts=2,
+                             sliding_window=16, vocab_size=64, num_layers=1)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    dparams = {k: v for k, v in params.items() if k != "layers"}
+    dparams["layers"] = [params["layers"][0]]
+    eng = ContinuousBatchingEngine(
+        params, cfg, max_batch=1, max_len=64, prefill_bucket=16,
+        dtype=jnp.float32, draft_params=dparams, draft_cfg=cfg_d,
+        num_draft_tokens=4)
+    eng.submit([5, 9, 2], max_new_tokens=4)
+    with pytest.raises(RuntimeError, match="speculative"):
+        eng.step()
+    with pytest.raises(RuntimeError, match="speculative"):
+        eng.step_chunk(2)
+    # run() still works: it routes through step_spec_chunk
+    out = eng.run()
+    assert all(len(v) > 0 for v in out.values())
