@@ -89,19 +89,22 @@ def run(model_path: str, num_prompts: int, seq_len: int, quant: str | None,
         return sink_flash_attention(q, k, v, num_sink=0,
                                     window_size=q.shape[2], s_aux=None)
 
+    # params as a jit ARGUMENT, never a closure: closure-captured weights
+    # become inline constants (41.8 GB at the 20b geometry) and stall or
+    # OOM lowering/compile.
     @jax.jit
-    def ours_fn(ids):
+    def ours_fn(params, ids):
         return forward_prefill(params, cfg, ids)[0]
 
     @jax.jit
-    def ablation_fn(ids):
+    def ablation_fn(params, ids):
         return forward_prefill(params, cfg, ids, attn_impl=fa2_standin)[0]
 
     ours, ablation = [], []
     for i, p in enumerate(prompts):
         ids = jnp.asarray(p)[None]
-        ours.append(np.asarray(ours_fn(ids)[0], np.float32))
-        ablation.append(np.asarray(ablation_fn(ids)[0], np.float32))
+        ours.append(np.asarray(ours_fn(params, ids)[0], np.float32))
+        ablation.append(np.asarray(ablation_fn(params, ids)[0], np.float32))
         print(f"[golden] prompt {i + 1}/{num_prompts}: kernel+ablation done",
               flush=True)
 
@@ -200,6 +203,10 @@ def main():
 
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
+        # The axon TPU plugin overrides JAX_PLATFORMS; force it through
+        # the config API too (must happen before any jax use).
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     path = find_checkpoint(args.model_path)
     if path is None:

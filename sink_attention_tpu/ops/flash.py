@@ -281,7 +281,7 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale, num_sink, window,
                 n_q, n_kv, bm, bn, nsb, steps, use_s_aux,
                 safe_mode=False, sink_tile=False, ks_ref=None, vs_ref=None,
-                tri_ref=None):
+                tri_ref=None, sched_ref=None):
     """Forward kernel with *fixed-scale* (rescale-free) online softmax.
 
     Classic flash attention rescales (acc, l) by exp2(m_prev - m_new) every
@@ -311,8 +311,17 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
     Q arrives pre-scaled by scale*LOG2E (host-side, see _fwd_impl).
     """
     bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    step = pl.program_id(2)
+    if sched_ref is None:
+        qi = pl.program_id(1)
+        step = pl.program_id(2)
+        first = step == 0
+        last = step == steps - 1
+    else:
+        # flat schedule grid: one dimension enumerating only valid cells
+        f = pl.program_id(1)
+        qi = sched_ref[f, 0]
+        first = sched_ref[f, 3] == 1
+        last = sched_ref[f, 4] == 1
     q_off = off_ref[0]
     kv_off = off_ref[1]
     n_kv_blocks = _cdiv(n_kv, bn)
@@ -339,16 +348,29 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32)
 
     def fast_update(s, v):
-        p = jnp.exp2(s - m_ref[:, :1])  # masked lanes: exp2(-inf) = 0
-        l_ref[...] = l_ref[...] + jnp.broadcast_to(
-            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        if v.dtype == jnp.bfloat16:
+            # exp2 on a bf16 argument producing bf16 p: the transcendental
+            # runs at packed 2-per-lane width and the separate p astype
+            # pass for the PV matmul disappears (measured -0.23 ms at the
+            # 8K headline). l accumulates the SAME bf16 p in fp32, so
+            # numerator and denominator stay consistent; p's bf16 rounding
+            # (~2e-3 relative) is below the bf16 output rounding anyway.
+            # fp32 compute keeps the exact fp32 path below.
+            p = jnp.exp2((s - m_ref[:, :1]).astype(jnp.bfloat16))
+            l_ref[...] = l_ref[...] + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32),
+                l_ref.shape)
+        else:
+            p = jnp.exp2(s - m_ref[:, :1])  # masked lanes: exp2(-inf) = 0
+            l_ref[...] = l_ref[...] + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
         acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     softmax_update = classic_update if safe_mode else fast_update
 
-    @pl.when(step == 0)
+    @pl.when(first)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         if use_s_aux:
@@ -375,9 +397,14 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
             s = jnp.where(mask, s, NEG_INF)
             softmax_update(s, vs_ref[0])
 
-    block, valid = _fwd_kv_step(
-        qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
-        window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
+    if sched_ref is None:
+        block, valid = _fwd_kv_step(
+            qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb,
+            num_sink=num_sink, window=window, n_q=n_q,
+            n_kv_blocks=n_kv_blocks)
+    else:
+        block = sched_ref[f, 1]
+        valid = sched_ref[f, 2] == 1
 
     def scores():
         return jax.lax.dot_general(
@@ -395,7 +422,7 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
             s, _ = _apply_branch_mask(scores(), kind, mask_fn, tri_ref)
             softmax_update(s, v_ref[0])
 
-    @pl.when(step == steps - 1)
+    @pl.when(last)
     def _finalize():
         l = l_ref[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -424,15 +451,23 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref, lse_ref,
 def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                dq_ref, acc_ref, *, scale, num_sink, window, n_q, n_kv, bm, bn,
                nsb, steps, sink_tile=False, ks_ref=None, vs_ref=None,
-               tri_ref=None):
+               tri_ref=None, sched_ref=None):
     """dQ kernel. Q arrives pre-scaled by scale*LOG2E (see _bwd_impl)."""
-    qi = pl.program_id(1)
-    step = pl.program_id(2)
+    if sched_ref is None:
+        qi = pl.program_id(1)
+        step = pl.program_id(2)
+        first = step == 0
+        last = step == steps - 1
+    else:
+        f = pl.program_id(1)
+        qi = sched_ref[f, 0]
+        first = sched_ref[f, 3] == 1
+        last = sched_ref[f, 4] == 1
     q_off = off_ref[0]
     kv_off = off_ref[1]
     n_kv_blocks = _cdiv(n_kv, bn)
 
-    @pl.when(step == 0)
+    @pl.when(first)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         if sink_tile:
@@ -456,9 +491,14 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 ds.astype(ks_ref.dtype), ks_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-    block, valid = _fwd_kv_step(
-        qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
-        window=window, n_q=n_q, n_kv_blocks=n_kv_blocks)
+    if sched_ref is None:
+        block, valid = _fwd_kv_step(
+            qi, step, q_off, kv_off, bm=bm, bn=bn, nsb=nsb,
+            num_sink=num_sink, window=window, n_q=n_q,
+            n_kv_blocks=n_kv_blocks)
+    else:
+        block = sched_ref[f, 1]
+        valid = sched_ref[f, 2] == 1
 
     for cond, kind, mask_fn in _branch_masks(
             qi, block, q_off, kv_off, off_ref[2], bm=bm, bn=bn,
@@ -489,7 +529,7 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-    @pl.when(step == steps - 1)
+    @pl.when(last)
     def _finalize():
         dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
 
@@ -645,6 +685,60 @@ def _step_counts(num_sink, window, bm, bn, n_kv_blocks, aligned):
     return nsb, max(nsb + mwb, 1)
 
 
+def _build_fwd_schedule(n_q_blocks, n_kv_blocks, bm, bn, num_sink, window,
+                        n_q, q_off, kv_off, nsb):
+    """Flat (qi, kv-block) schedule enumerating ONLY the valid grid cells.
+
+    The rectangular grid (qi, step) pads every q block to the worst-case
+    ``steps`` trip count; early q blocks (global row < window) have
+    causally truncated KV ranges, so their tail steps are idle — and a
+    Mosaic grid step costs nearly full time even when `pl.when`'d off
+    (measured at the N=8K headline: 10 of 40 cells idle per head, kernel
+    45.4% MFU vs 54.6% at N=32K where idle is 6/160). With static offsets
+    the valid set is known at trace time, so the grid flattens to exactly
+    the valid cells, addressed through a scalar-prefetch table:
+    columns (qi, kv_block, valid, first, last). A q block whose valid set
+    is empty still gets one invalid entry so its init/finalize (zero
+    output, -inf lse) run. Python-int mirror of :func:`_fwd_kv_step`.
+    """
+    import numpy as np
+    n_kv_local = n_kv_blocks * bn
+    if nsb > 0:
+        sink_lo = min(max(-kv_off, 0), n_kv_local)
+        sink_hi = min(max(num_sink - kv_off, 0), n_kv_local)
+        sink_b0, sink_b1 = sink_lo // bn, _cdiv(sink_hi, bn)
+    else:
+        # no sink phase (num_sink == 0, or sinks ride the thin dedicated
+        # tile) — the window phase must not skip block 0
+        sink_b0 = sink_b1 = 0
+    rows = []
+    for qi in range(n_q_blocks):
+        blocks = []
+        if nsb > 0:
+            blocks += [b for b in range(sink_b0, sink_b1)
+                       if 0 <= b < n_kv_blocks][:nsb]
+        g_row_start = q_off + qi * bm
+        win_glo = max(g_row_start - window + 1, num_sink)
+        win_ghi = min(g_row_start + bm, q_off + n_q)  # causal, exclusive
+        if win_ghi > win_glo:
+            win_lo = min(max(win_glo - kv_off, 0), n_kv_local)
+            win_hi = min(max(win_ghi - kv_off, 0), n_kv_local)
+            win_b0 = max(win_lo // bn, sink_b1)
+            win_b1 = _cdiv(win_hi, bn)
+            blocks += [b for b in range(win_b0, win_b1)
+                       if 0 <= b < n_kv_blocks]
+        if not blocks:
+            rows.append((qi, 0, 0))
+        else:
+            rows += [(qi, b, 1) for b in blocks]
+    sched = np.zeros((len(rows), 5), np.int32)
+    for i, (qi, b, valid) in enumerate(rows):
+        first = i == 0 or rows[i - 1][0] != qi
+        last = i == len(rows) - 1 or rows[i + 1][0] != qi
+        sched[i] = (qi, b, valid, int(first), int(last))
+    return jnp.asarray(sched)
+
+
 def _use_sink_tile(num_sink: int, aligned_zero_kv_off: bool, bn: int) -> bool:
     """Sink tokens as a thin dedicated tile: only when they are few enough
     to fit one 128-lane tile, materially thinner than bn, and the KV chunk
@@ -654,7 +748,12 @@ def _use_sink_tile(num_sink: int, aligned_zero_kv_off: bool, bn: int) -> bool:
 
 
 def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
-              aligned=False, kv_starts_at_zero=False):
+              aligned=False, kv_starts_at_zero=False, static_offsets=None):
+    """``static_offsets``: optional (q_offset, kv_offset) PYTHON ints. When
+    given, the (qi, step) grid is flattened to a scalar-prefetch schedule
+    of exactly the valid cells (_build_fwd_schedule) — the main-path
+    speedup for causally truncated early q blocks. Traced offsets (ring /
+    SP chunks) keep the rectangular grid with runtime block arithmetic."""
     if interpret is None:
         interpret = _default_interpret()
     qp, kp, vp, dims = _prep(q, k, v, bm, bn)
@@ -686,34 +785,83 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
     def kv_bh(bh):
         return (bh // H_q) * H_kv + (bh % H_q) // group
 
-    def kv_index(bh, qi, s, off):
-        block, _ = _fwd_kv_step(
-            qi, s, off[0], off[1], bm=bm, bn=bn, nsb=nsb, num_sink=num_sink,
-            window=window, n_q=N_q, n_kv_blocks=n_kv_blocks)
-        return (kv_bh(bh), block, 0)
+    use_sched = static_offsets is not None
+    if use_sched:
+        sched = _build_fwd_schedule(
+            n_q_blocks, n_kv_blocks, bm, bn, num_sink, window, N_q,
+            int(static_offsets[0]), int(static_offsets[1]), nsb)
+
+        def q_index(bh, f, off, sch):
+            return (bh, sch[f, 0], 0)
+
+        def kv_index(bh, f, off, sch):
+            return (kv_bh(bh), sch[f, 1], 0)
+
+        def const_index(bh, f, off, sch):
+            return (0, 0)
+
+        def sinkt_index(bh, f, off, sch):
+            return (kv_bh(bh), 0, 0)
+
+        def o_index(bh, f, off, sch):
+            return (bh, sch[f, 0], 0)
+
+        def lse_index(bh, f, off, sch):
+            return (bh, 0, sch[f, 0])
+
+        grid = (B * H_q, int(sched.shape[0]))
+        num_prefetch = 2
+        prefetch_ops = [offsets, sched]
+        dim_sem = ("parallel", "arbitrary")
+    else:
+        def q_index(bh, qi, s, off):
+            return (bh, qi, 0)
+
+        def kv_index(bh, qi, s, off):
+            block, _ = _fwd_kv_step(
+                qi, s, off[0], off[1], bm=bm, bn=bn, nsb=nsb,
+                num_sink=num_sink, window=window, n_q=N_q,
+                n_kv_blocks=n_kv_blocks)
+            return (kv_bh(bh), block, 0)
+
+        def const_index(bh, qi, s, off):
+            return (0, 0)
+
+        def sinkt_index(bh, qi, s, off):
+            return (kv_bh(bh), 0, 0)
+
+        def o_index(bh, qi, s, off):
+            return (bh, qi, 0)
+
+        def lse_index(bh, qi, s, off):
+            return (bh, 0, qi)
+
+        grid = (B * H_q, n_q_blocks, steps)
+        num_prefetch = 1
+        prefetch_ops = [offsets]
+        dim_sem = ("parallel", "parallel", "arbitrary")
 
     in_specs = [
-        pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+        pl.BlockSpec((1, bm, d_pad), q_index),
         pl.BlockSpec((1, bn, d_pad), kv_index),
         pl.BlockSpec((1, bn, d_pad), kv_index),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # s_aux, whole array
     ]
     operands = [qp, kp, vp, aux]
     if sink_tile:
-        sink_spec = pl.BlockSpec(
-            (1, LANES, d_pad), lambda bh, qi, s, off: (kv_bh(bh), 0, 0))
+        sink_spec = pl.BlockSpec((1, LANES, d_pad), sinkt_index)
         in_specs += [sink_spec, sink_spec]
         operands += [kp, vp]
-    in_specs.append(pl.BlockSpec((bm, bn), lambda bh, qi, s, off: (0, 0)))
+    in_specs.append(pl.BlockSpec((bm, bn), const_index))
     operands.append(_tri_tile(bm, bn))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B * H_q, n_q_blocks, steps),
+        num_scalar_prefetch=num_prefetch,
+        grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
-            pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
+            pl.BlockSpec((1, bm, d_pad), o_index),
+            pl.BlockSpec((1, SUBLANES, bm), lse_index),
         ],
         scratch_shapes=[
             pltpu.VMEM((bm, d_pad), jnp.float32),
@@ -730,7 +878,22 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
             n_q=N_q, n_kv=N_kv, bm=bm, bn=bn, nsb=nsb, steps=steps,
             use_s_aux=use_s_aux, safe_mode=safe_mode,
             sink_tile=sink_tile)
-        if sink_tile:
+        if use_sched:
+            if sink_tile:
+                def kernel(off_ref, sched_ref, q_ref, k_ref, v_ref, aux_ref,
+                           ks_ref, vs_ref, tri_ref, o_ref, lse_ref, acc_ref,
+                           m_ref, l_ref):
+                    return base(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref,
+                                lse_ref, acc_ref, m_ref, l_ref, ks_ref=ks_ref,
+                                vs_ref=vs_ref, tri_ref=tri_ref,
+                                sched_ref=sched_ref)
+            else:
+                def kernel(off_ref, sched_ref, q_ref, k_ref, v_ref, aux_ref,
+                           tri_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref):
+                    return base(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref,
+                                lse_ref, acc_ref, m_ref, l_ref,
+                                tri_ref=tri_ref, sched_ref=sched_ref)
+        elif sink_tile:
             def kernel(off_ref, q_ref, k_ref, v_ref, aux_ref, ks_ref, vs_ref,
                        tri_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref):
                 return base(off_ref, q_ref, k_ref, v_ref, aux_ref, o_ref,
@@ -753,10 +916,10 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
                     num_sink + window, N_kv), bytes_accessed=0),
             interpret=interpret,
         )
-        cp = _compiler_params(("parallel", "parallel", "arbitrary"))
+        cp = _compiler_params(dim_sem)
         if cp is not None:
             params["compiler_params"] = cp
-        return pl.pallas_call(kernel, **params)(offsets, *operands)
+        return pl.pallas_call(kernel, **params)(*prefetch_ops, *operands)
 
     o_p, lse_p = run(safe_mode=False)
     # Fixed-scale sanity sentinel (see _fwd_kernel docstring):
@@ -801,7 +964,8 @@ def _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
 
 
 def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
-              interpret, aligned=False, kv_starts_at_zero=False, dlse=None):
+              interpret, aligned=False, kv_starts_at_zero=False, dlse=None,
+              static_offsets=None):
     if interpret is None:
         interpret = _default_interpret()
     qp, kp, vp, dims = _prep(q, k, v, bm, bn)
@@ -845,44 +1009,99 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
     def kv_bh(bh):
         return (bh // H_q) * H_kv + (bh % H_q) // group
 
-    # ---- dQ: grid (B*H_q, n_q_blocks, steps) ----
-    def kv_index(bh, qi, s, off):
-        block, _ = _fwd_kv_step(
-            qi, s, off[0], off[1], bm=bm, bn=bn, nsb=dq_nsb,
-            num_sink=num_sink, window=window, n_q=N_q,
-            n_kv_blocks=n_kv_blocks)
-        return (kv_bh(bh), block, 0)
+    # ---- dQ: grid (B*H_q, n_q_blocks, steps), or (B*H_q, T) with a flat
+    # valid-cell schedule when offsets are static (see _build_fwd_schedule)
+    use_sched = static_offsets is not None
+    if use_sched:
+        dq_sched = _build_fwd_schedule(
+            n_q_blocks, n_kv_blocks, bm, bn, num_sink, window, N_q,
+            int(static_offsets[0]), int(static_offsets[1]), dq_nsb)
+
+        def dq_q_index(bh, f, off, sch):
+            return (bh, sch[f, 0], 0)
+
+        def kv_index(bh, f, off, sch):
+            return (kv_bh(bh), sch[f, 1], 0)
+
+        def dq_row_index(bh, f, off, sch):
+            return (bh, 0, sch[f, 0])
+
+        def dq_const_index(bh, f, off, sch):
+            return (0, 0)
+
+        def dq_sinkt_index(bh, f, off, sch):
+            return (kv_bh(bh), 0, 0)
+
+        dq_grid = (B * H_q, int(dq_sched.shape[0]))
+        dq_prefetch_ops = [offsets, dq_sched]
+        dq_dim_sem = ("parallel", "arbitrary")
+    else:
+        def dq_q_index(bh, qi, s, off):
+            return (bh, qi, 0)
+
+        def kv_index(bh, qi, s, off):
+            block, _ = _fwd_kv_step(
+                qi, s, off[0], off[1], bm=bm, bn=bn, nsb=dq_nsb,
+                num_sink=num_sink, window=window, n_q=N_q,
+                n_kv_blocks=n_kv_blocks)
+            return (kv_bh(bh), block, 0)
+
+        def dq_row_index(bh, qi, s, off):
+            return (bh, 0, qi)
+
+        def dq_const_index(bh, qi, s, off):
+            return (0, 0)
+
+        def dq_sinkt_index(bh, qi, s, off):
+            return (kv_bh(bh), 0, 0)
+
+        dq_grid = (B * H_q, n_q_blocks, dq_steps)
+        dq_prefetch_ops = [offsets]
+        dq_dim_sem = ("parallel", "parallel", "arbitrary")
 
     dq_in_specs = [
-        pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
+        pl.BlockSpec((1, bm, d_pad), dq_q_index),
         pl.BlockSpec((1, bn, d_pad), kv_index),
         pl.BlockSpec((1, bn, d_pad), kv_index),
-        pl.BlockSpec((1, bm, d_pad), lambda bh, qi, s, off: (bh, qi, 0)),
-        pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
-        pl.BlockSpec((1, SUBLANES, bm), lambda bh, qi, s, off: (bh, 0, qi)),
+        pl.BlockSpec((1, bm, d_pad), dq_q_index),
+        pl.BlockSpec((1, SUBLANES, bm), dq_row_index),
+        pl.BlockSpec((1, SUBLANES, bm), dq_row_index),
     ]
     dq_operands = [qp, kp, vp, dop, lse_p, delta_p]
     if sink_tile:
-        sink_spec = pl.BlockSpec(
-            (1, LANES, d_pad), lambda bh, qi, s, off: (kv_bh(bh), 0, 0))
+        sink_spec = pl.BlockSpec((1, LANES, d_pad), dq_sinkt_index)
         dq_in_specs += [sink_spec, sink_spec]
         dq_operands += [kp, vp]
-    dq_in_specs.append(pl.BlockSpec((bm, bn), lambda bh, qi, s, off: (0, 0)))
+    dq_in_specs.append(pl.BlockSpec((bm, bn), dq_const_index))
     dq_operands.append(tri)
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B * H_q, n_q_blocks, dq_steps),
+        num_scalar_prefetch=len(dq_prefetch_ops),
+        grid=dq_grid,
         in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, bm, d_pad),
-                               lambda bh, qi, s, off: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((1, bm, d_pad), dq_q_index),
         scratch_shapes=[pltpu.VMEM((bm, d_pad), jnp.float32)],
     )
     dq_base = functools.partial(
         _dq_kernel, scale=scale, num_sink=num_sink, window=window, n_q=N_q,
         n_kv=N_kv, bm=bm, bn=bn, nsb=dq_nsb, steps=dq_steps,
         sink_tile=sink_tile)
-    if sink_tile:
+    if use_sched:
+        if sink_tile:
+            def dq_kernel(off_ref, sched_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, ks_ref, vs_ref, tri_ref,
+                          dq_ref, acc_ref):
+                return dq_base(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                               delta_ref, dq_ref, acc_ref, ks_ref=ks_ref,
+                               vs_ref=vs_ref, tri_ref=tri_ref,
+                               sched_ref=sched_ref)
+        else:
+            def dq_kernel(off_ref, sched_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, tri_ref, dq_ref, acc_ref):
+                return dq_base(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                               delta_ref, dq_ref, acc_ref, tri_ref=tri_ref,
+                               sched_ref=sched_ref)
+    elif sink_tile:
         def dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                       delta_ref, ks_ref, vs_ref, tri_ref, dq_ref, acc_ref):
             return dq_base(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
@@ -898,10 +1117,11 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
         out_shape=jax.ShapeDtypeStruct((B * H_q, nq_pad, d_pad), q.dtype),
         interpret=interpret,
     )
-    cp = _compiler_params(("parallel", "parallel", "arbitrary"))
+    cp = _compiler_params(dq_dim_sem)
     if cp is not None:
         dq_params["compiler_params"] = cp
-    dq_p = pl.pallas_call(dq_kernel, **dq_params)(offsets, *dq_operands)
+    dq_p = pl.pallas_call(dq_kernel, **dq_params)(*dq_prefetch_ops,
+                                                  *dq_operands)
     dq = dq_p.reshape(B, H_q, nq_pad, d_pad)[:, :, :N_q, :D]
 
     # ---- dK/dV: two passes over disjoint KV-block ranges ----
@@ -1025,26 +1245,30 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
+                                                    12))
 def _sink_attn(q, k, v, s_aux, offsets, num_sink, window, bm, bn, interpret,
-               aligned, kv0):
+               aligned, kv0, soff):
     o, _ = _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                     interpret, aligned, kv_starts_at_zero=kv0)
+                     interpret, aligned, kv_starts_at_zero=kv0,
+                     static_offsets=soff)
     return o
 
 
 def _sink_attn_fwd(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                   interpret, aligned, kv0):
+                   interpret, aligned, kv0, soff):
     o, lse = _fwd_impl(q, k, v, s_aux, offsets, num_sink, window, bm, bn,
-                       interpret, aligned, kv_starts_at_zero=kv0)
+                       interpret, aligned, kv_starts_at_zero=kv0,
+                       static_offsets=soff)
     return o, (q, k, v, s_aux, offsets, o, lse)
 
 
-def _sink_attn_bwd(num_sink, window, bm, bn, interpret, aligned, kv0, res, g):
+def _sink_attn_bwd(num_sink, window, bm, bn, interpret, aligned, kv0, soff,
+                   res, g):
     q, k, v, s_aux, offsets, o, lse = res
     dq, dk, dv, ds_aux = _bwd_impl(
         q, k, v, s_aux, offsets, o, lse, g, num_sink, window, bm, bn,
-        interpret, aligned, kv_starts_at_zero=kv0)
+        interpret, aligned, kv_starts_at_zero=kv0, static_offsets=soff)
     return dq, dk, dv, ds_aux, None
 
 
@@ -1093,7 +1317,8 @@ def sink_flash_attention(q, k, v, num_sink: int = 4, window_size: int = 512,
     aligned = (q_offset % bn == 0 and kv_offset % bn == 0 and bm % bn == 0)
     offsets = jnp.array([q_offset, kv_offset], jnp.int32)
     return _sink_attn(q, k, v, s_aux, offsets, num_sink, window_size, bm, bn,
-                      interpret, aligned, kv_offset == 0)
+                      interpret, aligned, kv_offset == 0,
+                      (q_offset, kv_offset))
 
 
 def sink_flash_attention_with_lse(q, k, v, num_sink: int = 4,
@@ -1108,7 +1333,8 @@ def sink_flash_attention_with_lse(q, k, v, num_sink: int = 4,
     aligned = (q_offset % bn == 0 and kv_offset % bn == 0 and bm % bn == 0)
     offsets = jnp.array([q_offset, kv_offset], jnp.int32)
     return _fwd_impl(q, k, v, s_aux, offsets, num_sink, window_size, bm, bn,
-                     interpret, aligned, kv_starts_at_zero=kv_offset == 0)
+                     interpret, aligned, kv_starts_at_zero=kv_offset == 0,
+                     static_offsets=(q_offset, kv_offset))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
