@@ -444,28 +444,40 @@ def beam_table():
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0, 256)
     max_new = 128
-    greedy_fn = jax.jit(lambda p, i: greedy_generate(
-        p, cfg, i, max_new_tokens=max_new, dtype=jnp.bfloat16))
     RESULTS["beam"] = []
-    jax.block_until_ready(greedy_fn(params, ids))
-    t0 = time.perf_counter()
-    jax.block_until_ready(greedy_fn(params, ids))
-    t_greedy = time.perf_counter() - t0
-    for K in (4, 8):
+
+    def greedy_ms(batch):
+        ids_b = jnp.broadcast_to(ids, (batch, ids.shape[1]))
+        fn = jax.jit(lambda p, i: greedy_generate(
+            p, cfg, i, max_new_tokens=max_new, dtype=jnp.bfloat16))
+        jax.block_until_ready(fn(params, ids_b))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, ids_b))
+        return (time.perf_counter() - t0) * 1e3
+
+    t_greedy = greedy_ms(1)
+    for K in (4, 8, 32):
         beam_fn = jax.jit(lambda p, i, K=K: beam_generate(
             p, cfg, i, max_new_tokens=max_new, num_beams=K, eos_id=7,
             dtype=jnp.bfloat16)[0])
         jax.block_until_ready(beam_fn(params, ids))
         t0 = time.perf_counter()
+        t_beam = None
         jax.block_until_ready(beam_fn(params, ids))
-        t_beam = time.perf_counter() - t0
+        t_beam = (time.perf_counter() - t0) * 1e3
+        # equal-batch greedy isolates the beam machinery (scoring +
+        # reorder) from plain batch-width cost: K beams decode K cache
+        # rows whether or not they are beams
+        t_gb = greedy_ms(K)
         RESULTS["beam"].append(
             {"num_beams": K, "max_new": max_new,
-             "greedy_ms": t_greedy * 1e3, "beam_ms": t_beam * 1e3,
-             "cost_vs_greedy": t_beam / t_greedy})
-        print(f"K={K}: beam {t_beam*1e3:8.1f} ms vs greedy "
-              f"{t_greedy*1e3:8.1f} ms ({t_beam/t_greedy:.2f}x for "
-              f"{K} hypotheses)")
+             "greedy_ms": t_greedy, "beam_ms": t_beam,
+             "cost_vs_greedy": t_beam / t_greedy,
+             "greedy_batchK_ms": t_gb,
+             "cost_vs_greedy_batchK": t_beam / t_gb})
+        print(f"K={K}: beam {t_beam:8.1f} ms vs greedy B=1 "
+              f"{t_greedy:8.1f} ms ({t_beam/t_greedy:.2f}x) vs greedy "
+              f"B={K} {t_gb:8.1f} ms ({t_beam/t_gb:.2f}x)")
 
 
 def int4serve_table():

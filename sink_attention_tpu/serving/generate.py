@@ -116,6 +116,20 @@ def beam_generate(params, cfg: ModelConfig, input_ids,
     the per-layer cache reorder whenever the beam->slot permutation is
     the identity — the steady state once beams stabilize or freeze — so
     a search that finishes early costs no further decode steps at all.
+
+    Design note (round 5): a permutation-composed variant — a
+    slot_of_beam indirection so injective selections update [B, K]
+    metadata instead of moving cache rows, with physical copies only on
+    true branch duplication — was implemented and measured SLOWER at the
+    bench scale (K=8: 82 -> 105 ms for 128 tokens; K=32: tie), because
+    the identity-skip already covers the steady state and the
+    indirection's always-on routing (inverse-permutation token scatter,
+    beam-indexed logit gather, claim/orphan bookkeeping) costs more per
+    step than the occasional small-cache reorder it avoids. At K*B=32
+    the beam loop runs within ~1.5x of an EQUAL-BATCH greedy decode
+    (bench `beam` rows) — the residual vs B=1 greedy is batch width, not
+    reorder. Revisit indirection only if profiles show reorder dominating
+    at production cache sizes (W >= 4K, H_kv >= 8).
     """
     B, N = input_ids.shape
     V = cfg.vocab_size

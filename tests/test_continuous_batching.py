@@ -594,3 +594,53 @@ def test_engine_speculative_rejects_plain_steps():
     # run() still works: it routes through step_spec_chunk
     out = eng.run()
     assert all(len(v) > 0 for v in out.values())
+
+
+def test_spec_bf16_divergence_only_at_near_ties():
+    """bf16 speculative decoding vs plain greedy (round-4 bench:
+    ``greedy_match_bf16: false``). The multi-token verify pass accumulates
+    attention in a different order than the single-token kernel, so in
+    bf16 a near-tie argmax can flip. This test bounds the failure mode:
+    wherever the two outputs first diverge, the plain path's top-2 logit
+    gap at that position must be inside bf16 noise (< 0.05); fp32
+    equality is pinned exactly by
+    test_engine_speculative_matches_sequential_greedy."""
+    from sink_attention_tpu.models import ModelConfig, init_params
+    from sink_attention_tpu.models.model import forward_prefill
+    from sink_attention_tpu.serving import (greedy_generate,
+                                            speculative_generate)
+
+    cfg = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                           hidden_size=32, num_experts=2, sliding_window=16,
+                           vocab_size=64, num_layers=3)
+    cfg_d = ModelConfig.tiny(num_heads=4, num_kv_heads=2, head_dim=16,
+                             hidden_size=32, num_experts=2,
+                             sliding_window=16, vocab_size=64, num_layers=1)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    dparams = {k: v for k, v in params.items() if k != "layers"}
+    dparams["layers"] = [params["layers"][0]]
+
+    new_tokens = 32
+    n_div = n_tok = 0
+    for seed, prompt in enumerate([[5, 9, 2], [7, 1, 30, 11], [3] * 9]):
+        ids = jnp.asarray(prompt, jnp.int32)[None]
+        plain = np.asarray(greedy_generate(
+            params, cfg, ids, new_tokens, dtype=jnp.bfloat16)[0])
+        spec = np.asarray(speculative_generate(
+            params, dparams, cfg, cfg_d, ids, new_tokens,
+            num_draft_tokens=4, dtype=jnp.bfloat16)[0][0])
+        n_tok += len(plain)
+        div = [i for i in range(len(plain)) if plain[i] != spec[i]]
+        if not div:
+            continue
+        n_div += 1
+        i = div[0]
+        # teacher-force the plain prefix; the flip must be a near-tie
+        forced = jnp.asarray(list(prompt) + [int(t) for t in plain[:i]],
+                             jnp.int32)[None]
+        logits, _ = forward_prefill(params, cfg, forced)
+        row = np.sort(np.asarray(logits[0, -1], np.float32))
+        gap = float(row[-1] - row[-2])
+        assert gap < 0.05, (seed, i, gap)
+    # divergence is the exception, not the rule
+    assert n_div <= 2, n_div
