@@ -45,7 +45,15 @@ def test_golden_protocol_on_tiny_model():
     """The golden harness's three-way comparison, with the package's eager
     oracle standing in for HF eager on a tiny random model: the kernel
     must be (numerically) close to eager and the full-causal ablation must
-    be measurably farther — the exact shape of the 20b criterion."""
+    be measurably farther — the exact shape of the 20b criterion.
+
+    Thresholds are set from measured round-5 margins (fp32, CPU, seeds
+    0-2): kernel mean_abs 2.35e-8 to 2.42e-8 (cos 1.000000), ablation
+    mean_abs 1.69e-2 to 1.90e-2, ratio 7.2e5 to 7.9e5. Bounds below give
+    ~40x headroom on the kernel error and sit ~70x under the measured
+    ratio — a kernel regressed to the round-4 bound (5e-2 / ratio 4)
+    would now fail loudly instead of passing a degraded state (round-3
+    review ask #8)."""
     cfg = ModelConfig.tiny(sliding_window=32, num_sink_tokens=4)
     params = init_params(cfg, jax.random.PRNGKey(0))
     ids = jnp.asarray(
@@ -57,10 +65,13 @@ def test_golden_protocol_on_tiny_model():
 
     mk = _metrics(ours, eager)
     ma = _metrics(ablation, eager)
-    # Kernel vs eager: same math, kernel-precision differences only.
-    assert mk["mean_abs"] < 5e-2, mk
-    # Ablation: different attention pattern -> strictly farther from eager.
-    assert ma["mean_abs"] > 4 * mk["mean_abs"], (mk, ma)
+    # Kernel vs eager: same math, kernel-precision differences only
+    # (measured 2.4e-8 at fp32).
+    assert mk["mean_abs"] < 1e-6, mk
+    # Ablation: different attention pattern -> far from eager (measured
+    # ratio ~7e5; floor set at measured / ~70).
+    assert ma["mean_abs"] > 1e4 * mk["mean_abs"], (mk, ma)
+    assert ma["mean_abs"] > 5e-3, ma
     assert mk["cos"] > ma["cos"]
 
 
