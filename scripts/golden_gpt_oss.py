@@ -63,7 +63,9 @@ def _metrics(ours, theirs):
 
 
 def run(model_path: str, num_prompts: int, seq_len: int, quant: str | None,
-        skip_hf: bool, out_path: str | None):
+        skip_hf: bool, out_path: str | None, dtype: str = "bf16"):
+    import gc
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -73,8 +75,10 @@ def run(model_path: str, num_prompts: int, seq_len: int, quant: str | None,
     from sink_attention_tpu.models.hf_loader import load_hf_checkpoint
     from sink_attention_tpu.ops import sink_flash_attention
 
-    print(f"[golden] loading {model_path} (quant={quant}) ...", flush=True)
-    cfg, params = load_hf_checkpoint(model_path, quant=quant)
+    jdtype = jnp.float32 if dtype == "f32" else jnp.bfloat16
+    print(f"[golden] loading {model_path} (quant={quant}, dtype={dtype}) "
+          "...", flush=True)
+    cfg, params = load_hf_checkpoint(model_path, quant=quant, dtype=jdtype)
     print(f"[golden] cfg: layers={cfg.num_layers} H={cfg.num_heads}/"
           f"{cfg.num_kv_heads} d={cfg.head_dim} vocab={cfg.vocab_size} "
           f"window={cfg.sliding_window}", flush=True)
@@ -108,15 +112,22 @@ def run(model_path: str, num_prompts: int, seq_len: int, quant: str | None,
         print(f"[golden] prompt {i + 1}/{num_prompts}: kernel+ablation done",
               flush=True)
 
+    # free our params before the HF load: at fp32 x 20B each stack is
+    # ~84 GB — both resident would exceed the 125 GB host
+    del params
+    gc.collect()
+
     eager = None
     if not skip_hf:
         try:
             import torch
             from transformers import AutoModelForCausalLM
-            print("[golden] loading HF eager model (cpu, bf16)...",
+            print(f"[golden] loading HF eager model (cpu, {dtype})...",
                   flush=True)
             hf = AutoModelForCausalLM.from_pretrained(
-                model_path, torch_dtype=torch.bfloat16,
+                model_path,
+                torch_dtype=(torch.float32 if dtype == "f32"
+                             else torch.bfloat16),
                 attn_implementation="eager", local_files_only=True)
             hf.eval()
             eager = []
@@ -134,7 +145,8 @@ def run(model_path: str, num_prompts: int, seq_len: int, quant: str | None,
     lines = [
         "# GOLDEN: gpt-oss-20b logits criterion",
         "",
-        f"Checkpoint: `{model_path}`  quant={quant}  prompts={num_prompts}"
+        f"Checkpoint: `{model_path}`  quant={quant}  dtype={dtype}  "
+        f"prompts={num_prompts}"
         f" seq_len={seq_len}  backend={jax.default_backend()}",
         "",
         "Protocol: reference test_gpt_oss_model.py:16-164 — eager vs "
@@ -198,6 +210,11 @@ def main():
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--skip-hf", action="store_true",
                     help="skip the HF eager baseline (e.g. no torch RAM)")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="compute dtype for BOTH stacks; f32 separates "
+                         "attention-pattern error from bf16 rounding noise "
+                         "(random-init weights amplify bf16 noise "
+                         "chaotically through 24 layers)")
     ap.add_argument("--out", default="GOLDEN.md")
     args = ap.parse_args()
 
@@ -217,7 +234,7 @@ def main():
         return 0
     quant = None if args.quant == "none" else args.quant
     return run(path, args.num_prompts, args.seq_len, quant, args.skip_hf,
-               args.out)
+               args.out, dtype=args.dtype)
 
 
 if __name__ == "__main__":

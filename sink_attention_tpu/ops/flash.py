@@ -576,25 +576,38 @@ def _dkdv_q_step(ni, step, q_off, kv_off, *, bm, bn, num_sink, window,
 def _dkdv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                  dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_sink, window,
                  n_q, n_kv, bm, bn, q_steps, group, sink_pass, kv_block_base,
-                 tri_ref=None):
+                 tri_ref=None, sched_ref=None):
     """dK/dV kernel. Q arrives pre-scaled by scale*LOG2E (see _bwd_impl),
     so dK accumulates against the scaled Q and the flush divides the extra
     LOG2E back out (dk = scale * ds^T q = (1/LOG2E) * ds^T q_scaled)."""
-    ni = pl.program_id(1) + kv_block_base
-    g = pl.program_id(2)
-    step = pl.program_id(3)
     q_off = off_ref[0]
     kv_off = off_ref[1]
     n_q_blocks = _cdiv(n_q, bm)
+    if sched_ref is None:
+        ni = pl.program_id(1) + kv_block_base
+        g = pl.program_id(2)
+        step = pl.program_id(3)
+        first = (g == 0) & (step == 0)
+        last = (g == group - 1) & (step == q_steps - 1)
+        q_block, valid = _dkdv_q_step(
+            ni, step, q_off, kv_off, bm=bm, bn=bn, num_sink=num_sink,
+            window=window, n_kv=n_kv, n_q_blocks=n_q_blocks,
+            sink_pass=sink_pass)
+    else:
+        # flat (kv-block, q-block) schedule, g innermost (see
+        # _build_dkdv_schedule): table rows are GLOBAL kv-block indices
+        f = pl.program_id(1)
+        g = pl.program_id(2)
+        ni = sched_ref[f, 0]
+        q_block = sched_ref[f, 1]
+        valid = sched_ref[f, 2] == 1
+        first = (sched_ref[f, 3] == 1) & (g == 0)
+        last = (sched_ref[f, 4] == 1) & (g == group - 1)
 
-    @pl.when((g == 0) & (step == 0))
+    @pl.when(first)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
-
-    q_block, valid = _dkdv_q_step(
-        ni, step, q_off, kv_off, bm=bm, bn=bn, num_sink=num_sink,
-        window=window, n_kv=n_kv, n_q_blocks=n_q_blocks, sink_pass=sink_pass)
 
     for cond, kind, mask_fn in _branch_masks(
             q_block, ni, q_off, kv_off, off_ref[2], bm=bm, bn=bn,
@@ -631,7 +644,7 @@ def _dkdv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-    @pl.when((g == group - 1) & (step == q_steps - 1))
+    @pl.when(last)
     def _finalize():
         dk_ref[0] = (dk_acc[...] * (1.0 / LOG2E)).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
@@ -736,6 +749,42 @@ def _build_fwd_schedule(n_q_blocks, n_kv_blocks, bm, bn, num_sink, window,
         first = i == 0 or rows[i - 1][0] != qi
         last = i == len(rows) - 1 or rows[i + 1][0] != qi
         sched[i] = (qi, b, valid, int(first), int(last))
+    return jnp.asarray(sched)
+
+
+def _build_dkdv_schedule(kv_lo, kv_hi, n_q_blocks, bm, bn, num_sink, window,
+                         n_q, n_kv, q_off, kv_off, sink_pass):
+    """Flat (kv-block, q-block) schedule for the dK/dV kernel — only the
+    valid cells (python-int mirror of :func:`_dkdv_q_step`; same
+    motivation as :func:`_build_fwd_schedule`: the rectangular grid's
+    static ``q_steps`` leaves late window KV blocks with causally
+    truncated q ranges idle — 36% of cells at the N=8K headline).
+    Columns: (GLOBAL kv_block, q_block, valid, first, last); first/last
+    mark kv-block boundaries, the g grid dim stays separate (innermost).
+    A kv block with no attending q blocks keeps one invalid entry so its
+    zero dK/dV still flush.
+    """
+    import numpy as np
+    rows = []
+    for ni in range(kv_lo, kv_hi):
+        kv_gstart = ni * bn + kv_off
+        q_bstart = max((kv_gstart - q_off) // bm, 0)
+        max_q_g = kv_gstart + bn + window - 2
+        win_bend = min((max_q_g - q_off) // bm + 1, n_q_blocks)
+        q_bend = n_q_blocks if sink_pass else win_bend
+        blocks = []
+        if kv_gstart < n_kv + kv_off:
+            blocks = [b for b in range(q_bstart, max(q_bend, q_bstart))
+                      if 0 <= b < n_q_blocks]
+        if not blocks:
+            rows.append((ni, 0, 0))
+        else:
+            rows += [(ni, b, 1) for b in blocks]
+    sched = np.zeros((len(rows), 5), np.int32)
+    for i, (ni, b, valid) in enumerate(rows):
+        sched[i] = (ni, b, valid,
+                    int(i == 0 or rows[i - 1][0] != ni),
+                    int(i == len(rows) - 1 or rows[i + 1][0] != ni))
     return jnp.asarray(sched)
 
 
@@ -1133,48 +1182,75 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
         if nblocks <= 0:
             return None, None
 
-        def q_index_of(ni, s, off):
-            q_block, _ = _dkdv_q_step(
-                ni + kv_lo, s, off[0], off[1], bm=bm, bn=bn,
-                num_sink=num_sink, window=window, n_kv=N_kv,
-                n_q_blocks=n_q_blocks, sink_pass=sink_pass)
-            return q_block
+        def head(bkh, g):
+            return bkh // H_kv * H_q + (bkh % H_kv) * group + g
+
+        if use_sched and sink_pass is not None:
+            sched = _build_dkdv_schedule(
+                kv_lo, kv_hi, n_q_blocks, bm, bn, num_sink, window, N_q,
+                N_kv, int(static_offsets[0]), int(static_offsets[1]),
+                sink_pass)
+
+            def q_idx(bkh, f, g, off, sch):
+                return (head(bkh, g), sch[f, 1], 0)
+
+            def qrow_idx(bkh, f, g, off, sch):
+                return (head(bkh, g), 0, sch[f, 1])
+
+            def kvb_idx(bkh, f, g, off, sch):
+                return (bkh, sch[f, 0], 0)
+
+            def out_idx(bkh, f, g, off, sch):
+                return (bkh, sch[f, 0] - kv_lo, 0)
+
+            def tri_idx(bkh, f, g, off, sch):
+                return (0, 0)
+
+            grid = (B * H_kv, int(sched.shape[0]), group)
+            prefetch = [offsets, sched]
+            dims = ("parallel", "arbitrary", "arbitrary")
+        else:
+            def q_index_of(ni, s, off):
+                q_block, _ = _dkdv_q_step(
+                    ni + kv_lo, s, off[0], off[1], bm=bm, bn=bn,
+                    num_sink=num_sink, window=window, n_kv=N_kv,
+                    n_q_blocks=n_q_blocks, sink_pass=sink_pass)
+                return q_block
+
+            def q_idx(bkh, ni, g, s, off):
+                return (head(bkh, g), q_index_of(ni, s, off), 0)
+
+            def qrow_idx(bkh, ni, g, s, off):
+                return (head(bkh, g), 0, q_index_of(ni, s, off))
+
+            def kvb_idx(bkh, ni, g, s, off):
+                return (bkh, ni + kv_lo, 0)
+
+            def out_idx(bkh, ni, g, s, off):
+                return (bkh, ni, 0)
+
+            def tri_idx(bkh, ni, g, s, off):
+                return (0, 0)
+
+            grid = (B * H_kv, nblocks, group, q_steps)
+            prefetch = [offsets]
+            dims = ("parallel", "parallel", "arbitrary", "arbitrary")
 
         spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B * H_kv, nblocks, group, q_steps),
+            num_scalar_prefetch=len(prefetch),
+            grid=grid,
             in_specs=[
-                pl.BlockSpec(
-                    (1, bm, d_pad),
-                    lambda bkh, ni, g, s, off:
-                        (bkh // H_kv * H_q + (bkh % H_kv) * group + g,
-                         q_index_of(ni, s, off), 0)),
-                pl.BlockSpec((1, bn, d_pad),
-                             lambda bkh, ni, g, s, off: (bkh, ni + kv_lo, 0)),
-                pl.BlockSpec((1, bn, d_pad),
-                             lambda bkh, ni, g, s, off: (bkh, ni + kv_lo, 0)),
-                pl.BlockSpec(
-                    (1, bm, d_pad),
-                    lambda bkh, ni, g, s, off:
-                        (bkh // H_kv * H_q + (bkh % H_kv) * group + g,
-                         q_index_of(ni, s, off), 0)),
-                pl.BlockSpec(
-                    (1, SUBLANES, bm),
-                    lambda bkh, ni, g, s, off:
-                        (bkh // H_kv * H_q + (bkh % H_kv) * group + g,
-                         0, q_index_of(ni, s, off))),
-                pl.BlockSpec(
-                    (1, SUBLANES, bm),
-                    lambda bkh, ni, g, s, off:
-                        (bkh // H_kv * H_q + (bkh % H_kv) * group + g,
-                         0, q_index_of(ni, s, off))),
-                pl.BlockSpec((bm, bn), lambda bkh, ni, g, s, off: (0, 0)),
+                pl.BlockSpec((1, bm, d_pad), q_idx),
+                pl.BlockSpec((1, bn, d_pad), kvb_idx),
+                pl.BlockSpec((1, bn, d_pad), kvb_idx),
+                pl.BlockSpec((1, bm, d_pad), q_idx),
+                pl.BlockSpec((1, SUBLANES, bm), qrow_idx),
+                pl.BlockSpec((1, SUBLANES, bm), qrow_idx),
+                pl.BlockSpec((bm, bn), tri_idx),
             ],
             out_specs=[
-                pl.BlockSpec((1, bn, d_pad),
-                             lambda bkh, ni, g, s, off: (bkh, ni, 0)),
-                pl.BlockSpec((1, bn, d_pad),
-                             lambda bkh, ni, g, s, off: (bkh, ni, 0)),
+                pl.BlockSpec((1, bn, d_pad), out_idx),
+                pl.BlockSpec((1, bn, d_pad), out_idx),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bn, d_pad), jnp.float32),
@@ -1186,11 +1262,19 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
             n_q=N_q, n_kv=N_kv, bm=bm, bn=bn, q_steps=q_steps, group=group,
             sink_pass=sink_pass, kv_block_base=kv_lo)
 
-        def kern(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                 tri_ref, dk_ref, dv_ref, dk_acc, dv_acc):
-            return base(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                        delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                        tri_ref=tri_ref)
+        if use_sched and sink_pass is not None:
+            def kern(off_ref, sched_ref, q_ref, k_ref, v_ref, do_ref,
+                     lse_ref, delta_ref, tri_ref, dk_ref, dv_ref, dk_acc,
+                     dv_acc):
+                return base(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                            delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                            tri_ref=tri_ref, sched_ref=sched_ref)
+        else:
+            def kern(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                     delta_ref, tri_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+                return base(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                            delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                            tri_ref=tri_ref)
         kw = dict(
             grid_spec=spec,
             out_shape=[
@@ -1199,12 +1283,11 @@ def _bwd_impl(q, k, v, s_aux, offsets, o, lse, do, num_sink, window, bm, bn,
             ],
             interpret=interpret,
         )
-        cpb = _compiler_params(
-            ("parallel", "parallel", "arbitrary", "arbitrary"))
+        cpb = _compiler_params(dims)
         if cpb is not None:
             kw["compiler_params"] = cpb
         return pl.pallas_call(kern, **kw)(
-            offsets, qp, kp, vp, dop, lse_p, delta_p, tri)
+            *prefetch, qp, kp, vp, dop, lse_p, delta_p, tri)
 
     q_steps_win = max(1, min(_cdiv(window + bn + bm, bm) +
                              (0 if aligned else 1), n_q_blocks))
