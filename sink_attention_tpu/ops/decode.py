@@ -69,9 +69,10 @@ def _dequant_block(x, quant):
     carries into the sign bit since mant<<4 < 128). Subnormals
     (magnitude bits < 8) do not satisfy the formula — the quantizer
     flushes them to zero at encode (cache.sink_cache.quantize), so the
-    in-kernel select maps them to 0 exactly. Measured 0.057 ms/step vs
-    int8's 0.053 at the headline decode config (was 0.158 with the
-    fp8 `astype`).
+    in-kernel select maps them to 0 exactly. Restores fp8 decode to the
+    int8 path's class (within the extra VPU ops' cost; committed numbers
+    in bench_results.json `decode` — the astype version ran 3x slower
+    than int8 at identical stored bytes).
     """
     if quant == "fp8":
         u = x.astype(jnp.int32) & 0xFF
