@@ -128,7 +128,9 @@ def run(model_path: str, num_prompts: int, seq_len: int, quant: str | None,
                 model_path,
                 torch_dtype=(torch.float32 if dtype == "f32"
                              else torch.bfloat16),
-                attn_implementation="eager", local_files_only=True)
+                attn_implementation="eager", local_files_only=True,
+                low_cpu_mem_usage=True)  # stream-convert: fp32 from bf16
+                # shards must not hold both copies (~126 GB)
             hf.eval()
             eager = []
             for i, p in enumerate(prompts):

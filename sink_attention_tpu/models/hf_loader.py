@@ -85,6 +85,12 @@ def params_from_hf_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                               quant: Optional[str] = None) -> dict:
     """Convert a GptOssForCausalLM state dict to our parameter pytree.
 
+    CONSUMES ``sd`` (entries are popped as they convert): the state-dict
+    copy must free while the param pytree builds, or an fp32 20B load
+    peaks at stored + converted (~126 GB) and trips the host OOM killer.
+    Pass a throwaway dict (``dict(sd)`` is a cheap shallow copy, but note
+    a caller-held original still pins the arrays).
+
     ``quant``: None (dense, in ``dtype``), ``'int8'`` (all big weights
     int8 per-channel, models.quant form), or ``'int4'`` (attention + MoE
     experts packed-int4; embedding/lm_head stay int8 — the int4 unpack is
@@ -105,15 +111,25 @@ def params_from_hf_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
         return quantize_weight(x, contract_axis=contract_axis,
                                scale_dtype=dtype)
 
+    def take(name):
+        # Destructive read: each tensor is consumed exactly once, so the
+        # state-dict copy frees as the param pytree builds. Matters at
+        # fp32 x 20B: keeping sd (42 GB stored) alive under the growing
+        # 84 GB params peaked past the 125 GB host and tripped the OOM
+        # killer. The tied-embedding tensor is the one legal double read.
+        if name == "model.embed_tokens.weight":
+            return sd[name]
+        return sd.pop(name)
+
     def get(name, transpose=False):
-        x = _np(sd[name]).astype(np.float32)
+        x = _np(take(name)).astype(np.float32)
         if transpose:
             x = x.T
         return jnp.asarray(x, dtype)
 
     def get_big(name, transpose=False, contract_axis=-2, allow_int4=True):
         """A large matmul weight: quantized on the fly when requested."""
-        x = _np(sd[name]).astype(np.float32)
+        x = _np(take(name)).astype(np.float32)
         if transpose:
             x = x.T
         return _maybe_q(x, contract_axis, allow_int4)
@@ -121,11 +137,11 @@ def params_from_hf_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
     def get_experts(name):
         """Stacked expert weights [E, in, out]: dense or MXFP4 on disk."""
         if name + "_blocks" in sd:
-            w = dequantize_mxfp4(_np(sd[name + "_blocks"]),
-                                 _np(sd[name + "_scales"]))  # [E, out, in]
+            w = dequantize_mxfp4(_np(take(name + "_blocks")),
+                                 _np(take(name + "_scales")))  # [E, out, in]
             w = np.swapaxes(w, 1, 2)                         # [E, in, out]
         else:
-            w = _np(sd[name]).astype(np.float32)
+            w = _np(take(name)).astype(np.float32)
         return _maybe_q(w, contract_axis=-2, allow_int4=True)
 
     def zeros(shape):
