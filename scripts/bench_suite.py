@@ -197,7 +197,10 @@ def decode_table():
 
             q0 = jax.random.normal(ks[2], (B, HQ, 1, D), dtype)
             jfn = jax.jit(steps_fn, static_argnums=2)
-            lo, hi = 64, 320
+            # big windows: at ~0.02 ms/step the 64/320 differencing
+            # was dominated by dispatch jitter (one run printed an
+            # impossible >100% of HBM roofline)
+            lo, hi = 256, 1280
             f_lo = lambda q, c: jfn(q, c, lo)
             f_hi = lambda q, c: jfn(q, c, hi)
             float(f_lo(q0, cache)); float(f_hi(q0, cache))
