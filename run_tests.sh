@@ -15,6 +15,9 @@
 set -euo pipefail
 cd "$(dirname "$0")"
 
+echo "=== Phase 0: README perf tables match bench_results.json ==="
+python scripts/readme_tables.py --check
+
 TORCH_TESTS=(tests/test_model.py tests/test_dense_model.py tests/test_hf_mxfp4.py)
 
 IGNORES=()

@@ -173,3 +173,26 @@ def test_adversarial_logits_trigger_safe_mode():
     out = sink_flash_attention(-q, k, v, num_sink=0, window_size=N)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("qo,kvo", [(0, 0), (128, 0), (192, 64), (64, 192)])
+def test_schedule_grid_matches_rectangular(qo, kvo):
+    """The flat valid-cell schedule (static offsets; _build_fwd_schedule)
+    must agree with the rectangular runtime-arithmetic grid on the same
+    call. sink_flash_attention takes the schedule path (python-int
+    offsets); sink_flash_attention_chunk traces its offsets and keeps the
+    rectangular grid — same kernel body, different cell enumeration.
+    Covers unaligned offsets (one extra straddle block per phase) and a
+    nonzero kv_offset (sink columns at a shifted local block)."""
+    from sink_attention_tpu.ops import sink_flash_attention_chunk
+
+    B, H_q, H_kv, N, D, ns, W = 1, 4, 2, 256, 64, 4, 96
+    q, k, v = make_qkv(jax.random.PRNGKey(3), B, H_q, H_kv, N, D)
+    sched_out = sink_flash_attention(q, k, v, num_sink=ns, window_size=W,
+                                     q_offset=qo, kv_offset=kvo)
+    rect_out, _ = sink_flash_attention_chunk(
+        q, k, v, jnp.array([qo, kvo], jnp.int32), num_sink=ns,
+        window_size=W)
+    np.testing.assert_allclose(np.asarray(sched_out, np.float32),
+                               np.asarray(rect_out, np.float32),
+                               atol=2e-6, rtol=1e-5)
