@@ -169,12 +169,16 @@ def decode_table():
     RESULTS["decode"] = []
     from sink_attention_tpu.utils import V5E_HBM_BW
 
-    print("\n=== Decode step: cache append + attention (B=1, GQA 32/8, "
-          "D=128) ===")
-    print(f"{'W':>6} {'kv':>6} {'ms/step':>9} {'GB/s':>7} {'%roof':>6} "
-          f"{'ref H200 ms':>12}")
-    for W_ in [4096]:
-        for quant in [None, "int8", "fp8"]:
+    print("\n=== Decode step: cache append + attention (B=1, D=128) ===")
+    print(f"{'W':>6} {'GQA':>6} {'kv':>6} {'ms/step':>9} {'GB/s':>7} "
+          f"{'%roof':>6} {'ref H200 ms':>12}")
+    # (W, H_q, quants): mirrors the reference's decode tables
+    # (README.md:322-349) — W sweep at GQA 32/8 plus the GQA 64/8 row;
+    # quantized formats only at the headline W.
+    cases = [(128, HQ, [None]), (1024, HQ, [None]),
+             (4096, HQ, [None, "int8", "fp8"]), (4096, 64, [None])]
+    for W_, HQ_, quants in cases:
+        for quant in quants:
             dtype = jnp.bfloat16
             cache = SinkKVCache.init(B, HKV, D, num_sink=NS, window_size=W_,
                                      dtype=dtype, quant=quant)
@@ -182,12 +186,12 @@ def decode_table():
             cache = cache.prefill(
                 jax.random.normal(ks[0], (B, HKV, W_ + NS, D), dtype),
                 jax.random.normal(ks[1], (B, HKV, W_ + NS, D), dtype))
-            aux = jax.random.normal(ks[2], (HQ,))
+            aux = jax.random.normal(ks[2], (HQ_,))
 
             def steps_fn(q0, cache, n):
                 def body(carry, _):
                     q, cache = carry
-                    kv = q[:, :HKV]
+                    kv = q[:, :HKV]  # any [B,HKV,1,D] values do
                     cache = cache.append(kv, kv)
                     o = sink_decode_attention_cached(q, cache, s_aux=aux)
                     return (o, cache), ()
@@ -195,7 +199,7 @@ def decode_table():
                                              length=n)
                 return jnp.sum(o.astype(jnp.float32))
 
-            q0 = jax.random.normal(ks[2], (B, HQ, 1, D), dtype)
+            q0 = jax.random.normal(ks[2], (B, HQ_, 1, D), dtype)
             jfn = jax.jit(steps_fn, static_argnums=2)
             # big windows: at ~0.02 ms/step the 64/320 differencing
             # was dominated by dispatch jitter (one run printed an
@@ -211,18 +215,24 @@ def decode_table():
                 t2 = time.perf_counter()
                 dts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
             dt = sorted(dts)[1]
-            ref = {1024: 0.056 + 0.08, 4096: 0.201}.get(W_)
+            # reference cache+decode totals (README.md:341-349): W=4096
+            # 0.201 ms at GQA 32/8, 0.290 at 64/8; W sweep rows published
+            # decode-only + ~0.08 cache update (README.md:328-330, 346)
+            ref = ({4096: 0.290} if HQ_ == 64 else
+                   {128: 0.056 + 0.08, 1024: 0.056 + 0.08,
+                    4096: 0.201}).get(W_)
             step_bytes = cache.k.nbytes + cache.v.nbytes
             if quant:  # scale rows are read alongside the quantized KV
                 step_bytes += cache.k_scale.nbytes + cache.v_scale.nbytes
             gbps = step_bytes / dt / 1e9
             roof = step_bytes / dt / V5E_HBM_BW
             RESULTS["decode"].append(
-                {"window": W_, "kv": quant or "bf16", "ms_per_step": dt * 1e3,
+                {"window": W_, "gqa": f"{HQ_}/{HKV}",
+                 "kv": quant or "bf16", "ms_per_step": dt * 1e3,
                  "step_bytes": step_bytes, "gb_per_s": gbps,
                  "hbm_roofline": roof, "ref_h200_ms": ref})
-            print(f"{W_:>6} {str(quant or 'bf16'):>6} {dt*1e3:>9.3f} "
-                  f"{gbps:>7.1f} {roof*100:>5.1f}% "
+            print(f"{W_:>6} {HQ_:>3}/{HKV:<2} {str(quant or 'bf16'):>6} "
+                  f"{dt*1e3:>9.3f} {gbps:>7.1f} {roof*100:>5.1f}% "
                   f"{ref if ref else '-':>12}")
 
 

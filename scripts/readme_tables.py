@@ -104,25 +104,28 @@ def render(results: dict) -> str:
           "step,\nW=4096), with HBM-bandwidth accounting (bytes of cache "
           "storage read per\nstep / step time; v5e nominal 819 GB/s):")
         w("")
-        w("| KV storage | v5e ms/step | GB/s | % nominal HBM BW | "
+        w("| W | GQA | KV storage | v5e ms/step | GB/s | % nominal HBM BW | "
           "Reference (H200, bf16) |")
-        w("|---|---|---|---|---|")
+        w("|---|---|---|---|---|---|---|")
         for r in results["decode"]:
             ref = (f"{_fmt(r['ref_h200_ms'], 3)} "
                    f"({_fmt(r['ref_h200_ms'] / r['ms_per_step'], 1)}x ours)"
                    if r.get("ref_h200_ms") else "—")
-            w(f"| {r['kv']} | **{_fmt(r['ms_per_step'], 3)}** | "
+            w(f"| {r['window']} | {r.get('gqa', '32/8')} | {r['kv']} | "
+              f"**{_fmt(r['ms_per_step'], 3)}** | "
               f"{_fmt(r['gb_per_s'], 0)} | {_fmt(r['hbm_roofline'] * 100, 1)}% | "
               f"{ref} |")
         w("")
         if any(r["hbm_roofline"] > 1.0 for r in results["decode"]):
-            w("(A row above 100% means this part sustains read bandwidth "
+            w("(Rows above 100% mean this part sustains read bandwidth "
               "beyond its\nnominal spec — the read-mostly decode step "
-              "measures ~930 GB/s vs ~650\nGB/s for a read+write stream; "
-              "the step is pure-DMA-bound as designed.\nint8/fp8 halve the "
-              "stored bytes — a cache-capacity win — at parity\nspeed: at "
-              "one grid step per head the dequant's VPU passes offset "
-              "the\nbyte savings.)")
+              "repeatedly measures 0.9-1.1\nTB/s vs ~650 GB/s for a "
+              "read+write stream; the step is pure-DMA-bound\nas designed. "
+              "Doubling the query heads (GQA 64/8) costs only ~6% —\nthe "
+              "reference pays +44% (0.201 -> 0.290 ms). int8/fp8 halve "
+              "the stored\nbytes — a cache-capacity win — at near-parity "
+              "speed: at one grid step\nper head the dequant's VPU passes "
+              "offset the byte savings.)")
             w("")
 
     # ---- engine ------------------------------------------------------------
