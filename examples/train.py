@@ -13,11 +13,17 @@ Memory levers for big models / long sequences (all composable):
 ``accum_steps=k`` (microbatch gradient accumulation).
 """
 
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin can override the env var; force it through
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 
