@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--heads", type=int, nargs=2, default=[32, 8],
                     metavar=("H_Q", "H_KV"))
     ap.add_argument("--head-dim", type=int, default=128)
+    ap.add_argument("--pairs", type=str, default=None,
+                    help="comma-separated bmxbn subset, e.g. "
+                         "'512x512,1024x1024' — each pair costs minutes of "
+                         "scan compile on the remote tunnel, so narrow the "
+                         "sweep when iterating")
     args = ap.parse_args()
 
     B, (H_q, H_kv), D = 1, args.heads, args.head_dim
@@ -57,26 +62,40 @@ def main():
         flops = sink_attention_flops(B, H_q, N, D, args.num_sink, args.window)
         if args.fwd_bwd:
             flops = int(flops * 3.5)  # bwd recompute ~2.5x fwd
+        pairs = BLOCK_PAIRS
+        if args.pairs:
+            pairs = [tuple(int(t) for t in p.split("x"))
+                     for p in args.pairs.split(",")]
         best = None
-        for bm, bn in BLOCK_PAIRS:
+        for bm, bn in pairs:
             if bm > N or bn > N:
                 continue
             try:
+                # k, v via *consts, NOT closures: closure-captured
+                # arrays become inline jit constants and stall the
+                # remote-compile tunnel (the same class of staleness the
+                # reference's tuner shipped with)
                 if args.fwd_bwd:
-                    def op(q, bm=bm, bn=bn):
+                    def op(q, k, v, bm=bm, bn=bn):
                         f = lambda q: sink_flash_attention(
                             q, k, v, args.num_sink, args.window,
                             block_q=bm, block_kv=bn).astype(jnp.float32).sum()
                         return jax.grad(f)(q).astype(q.dtype)
                 else:
-                    def op(q, bm=bm, bn=bn):
+                    def op(q, k, v, bm=bm, bn=bn):
                         return sink_flash_attention(
                             q, k, v, args.num_sink, args.window,
                             block_q=bm, block_kv=bn)
-                dt = time_chained(op, q, iters_lo=2, iters_hi=8, reps=3)
+                # chained-scan differencing is the ONLY valid timing
+                # on the axon tunnel: direct per-call block_until_ready
+                # timing returns memoized/async results (measured 0.04 ms
+                # for a 4 ms kernel). The price is a scan compile per
+                # pair (minutes at small tiles) — use --pairs to narrow.
+                dt = time_chained(op, q, k, v, iters_lo=2, iters_hi=8,
+                                  reps=3)
             except Exception as e:  # VMEM overflow etc.
                 print(f"{N:>7} {bm:>5} {bn:>5}   failed: "
-                      f"{type(e).__name__}: {str(e)[:60]}")
+                      f"{type(e).__name__}: {str(e)[:60]}", flush=True)
                 continue
             tf = flops / dt / 1e12
             mfu = flops / dt / peak * 100
@@ -84,7 +103,7 @@ def main():
             if best is None or dt < best[0]:
                 best = (dt, bm, bn)
             print(f"{N:>7} {bm:>5} {bn:>5} {dt*1e3:>9.3f} {tf:>9.1f} "
-                  f"{mfu:>6.1f}")
+                  f"{mfu:>6.1f}", flush=True)
         if best:
             print(f"  best @ N={N}: bm={best[1]} bn={best[2]} "
                   f"{best[0]*1e3:.3f} ms")
