@@ -161,11 +161,14 @@ def baseline_table():
 def decode_table():
     """Per-step latency + HBM-bandwidth roofline accounting per KV format.
 
-    A decode step is bandwidth-bound: its floor is one full read of the
-    cache's K/V storage (+ scale rows when quantized) — the q vector,
-    appended KV, and output are negligible. %roof = that byte count /
-    measured step time / the chip's HBM bandwidth (the TPU analog of the
-    reference's decode tables, reference README.md:322-349)."""
+    A decode step's classical floor is one full read of the cache's K/V
+    storage (+ scale rows when quantized) — the q vector, appended KV,
+    and output are negligible. %roof = that byte count / measured step
+    time / the chip's HBM bandwidth (the TPU analog of the reference's
+    decode tables, reference README.md:322-349). At B=1 the scan-carried
+    cache fits VMEM and XLA keeps it on-chip, so rows can exceed 100% —
+    the column is then an effective rate, not a physical HBM stream (the
+    engine table, 8 slots, measures the genuinely HBM-bound regime)."""
     RESULTS["decode"] = []
     from sink_attention_tpu.utils import V5E_HBM_BW
 

@@ -117,15 +117,22 @@ def render(results: dict) -> str:
               f"{ref} |")
         w("")
         if any(r["hbm_roofline"] > 1.0 for r in results["decode"]):
-            w("(Rows above 100% mean this part sustains read bandwidth "
-              "beyond its\nnominal spec — the read-mostly decode step "
-              "repeatedly measures 0.9-1.1\nTB/s vs ~650 GB/s for a "
-              "read+write stream; the step is pure-DMA-bound\nas designed. "
-              "Doubling the query heads (GQA 64/8) costs only ~6% —\nthe "
-              "reference pays +44% (0.201 -> 0.290 ms). int8/fp8 halve "
-              "the stored\nbytes — a cache-capacity win — at near-parity "
-              "speed: at one grid step\nper head the dequant's VPU passes "
-              "offset the byte savings.)")
+            w("(Rows above 100% are not HBM magic: the GB/s column is "
+              "storage bytes /\nstep time, and at B=1 the whole W=4096 "
+              "cache (17 MB bf16) carried through\nthe jitted decode scan "
+              "stays VMEM-resident, so steps read on-chip. That is\nreal "
+              "chunked-serving behavior — `engine.run(chunk=n)` decodes "
+              "whole chunks\ndevice-side the same way — while at serving "
+              "batch sizes (8 slots x 17 MB\n>> VMEM) the step spills back "
+              "to a genuine HBM stream, which the engine\ntable below "
+              "measures. Doubling the query heads (GQA 64/8) costs ~10% — "
+              "the\nreference pays +44% (0.201 -> 0.290 ms). int8/fp8 halve "
+              "the stored bytes —\na cache-capacity win — but the B=1 step "
+              "is overhead/VPU-bound, so the\nbyte saving does not show as "
+              "latency: int8 rides the MXU's native s8 path\n(q and the "
+              "probability rows are quantized in-kernel; no K/V dequant "
+              "pass),\nfp8's shift-add bit decode keeps it at ~2x bf16's "
+              "step.)")
             w("")
 
     # ---- engine ------------------------------------------------------------

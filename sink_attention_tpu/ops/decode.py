@@ -41,8 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..cache.sink_cache import SinkKVCache
-from .flash import (LANES, NEG_INF, SUBLANES, _cdiv, _default_interpret,
-                    _round_up)
+from .flash import LANES, NEG_INF, _cdiv, _default_interpret, _round_up
 
 __all__ = ["sink_decode_attention", "sink_decode_attention_cached",
            "sink_decode_attention_cached_multi",
@@ -69,10 +68,13 @@ def _dequant_block(x, quant):
     carries into the sign bit since mant<<4 < 128). Subnormals
     (magnitude bits < 8) do not satisfy the formula — the quantizer
     flushes them to zero at encode (cache.sink_cache.quantize), so the
-    in-kernel select maps them to 0 exactly. Restores fp8 decode to the
-    int8 path's class (within the extra VPU ops' cost; committed numbers
-    in bench_results.json `decode` — the astype version ran 3x slower
-    than int8 at identical stored bytes).
+    in-kernel select maps them to 0 exactly. This shift-add decode is
+    ~3x faster than the astype it replaced, but it is still a full
+    [block_s, d] VPU pass per tile — the int8 path avoids dequant
+    entirely (native s8 MXU matmuls, see the kernel body), which fp8
+    cannot: its bit patterns are not linear in the stored value. fp8
+    decode therefore runs ~2x the bf16 step (committed numbers in
+    bench_results.json `decode`).
     """
     if quant == "fp8":
         u = x.astype(jnp.int32) & 0xFF
@@ -110,21 +112,44 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
         q = q_ref[0]  # [g_pad, d_pad]
         k = k_ref[0]  # [block_s, d_pad] (possibly quantized storage)
         g_pad = q.shape[0]
-        kc = _dequant_block(k, quantized) if quantized else k
-        # precision pinned per operand dtype, NOT inherited from the
-        # caller's jax.default_matmul_precision context: Mosaic rejects a
-        # HIGHEST-precision contract on bf16 operands ("Bad lhs type"), so
-        # a quantized decode under default_matmul_precision("highest")
-        # would fail to compile. bf16 operands already use the MXU's full
-        # bf16 path; fp32 operands keep HIGHEST for exactness.
-        prec = (jax.lax.Precision.DEFAULT if kc.dtype == jnp.bfloat16
-                else jax.lax.Precision.HIGHEST)
-        s = jax.lax.dot_general(
-            q.astype(kc.dtype), kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec) * scale  # [g_pad, block_s]
-        if quantized:
-            s = s * ks_ref[0, 0][None, :]
+        if quantized == "int8":
+            # Native s8xs8 MXU path: quantize q per row in-kernel (a tiny
+            # [g_pad, d] tensor, symmetric, one scale per query head) and
+            # contract directly against the stored int8 K tile — no
+            # [block_s, d] dequant pass at all. That convert pass was the
+            # dominant VPU cost of the quantized decode step (int8 read
+            # half the bytes of bf16 yet ran slower; bench_results.json
+            # `decode` rows). q's 8-bit rounding adds <=0.4% relative
+            # error on top of the cache's own per-token quantization —
+            # well inside the int8 path's test budget. The fp32 detour
+            # before the int8 cast matters: Mosaic crashes on a direct
+            # bf16->int8 round-convert (compile-helper abort, v5e).
+            qf = q.astype(jnp.float32)
+            q_s = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                              1e-6) * (1.0 / 127.0)
+            qi = jnp.round(qf / q_s).astype(jnp.int8)
+            s32 = jax.lax.dot_general(
+                qi, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = (s32.astype(jnp.float32) * (q_s * scale) *
+                 ks_ref[0, 0][None, :])  # [g_pad, block_s]
+        else:
+            kc = _dequant_block(k, quantized) if quantized else k
+            # precision pinned per operand dtype, NOT inherited from the
+            # caller's jax.default_matmul_precision context: Mosaic rejects
+            # a HIGHEST-precision contract on bf16 operands ("Bad lhs
+            # type"), so a quantized decode under
+            # default_matmul_precision("highest") would fail to compile.
+            # bf16 operands already use the MXU's full bf16 path; fp32
+            # operands keep HIGHEST for exactness.
+            prec = (jax.lax.Precision.DEFAULT if kc.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
+            s = jax.lax.dot_general(
+                q.astype(kc.dtype), kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec) * scale  # [g_pad, block_s]
+            if quantized:
+                s = s * ks_ref[0, 0][None, :]
 
         slots = step * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (g_pad, block_s), 1)
@@ -150,16 +175,34 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, aux_ref,
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
-        v = v_ref[0]
-        vc = _dequant_block(v, quantized) if quantized else v
-        if quantized:
-            p = p * vs_ref[0, 0][None, :]
-        pv = jax.lax.dot_general(
-            p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.DEFAULT
-                       if vc.dtype == jnp.bfloat16
-                       else jax.lax.Precision.HIGHEST))
+        if quantized == "int8":
+            # Same trick on the PV side: fold V's per-token scale into p
+            # (as the dequant path does), then quantize the [g_pad,
+            # block_s] probability tile per row and contract s8xs8 against
+            # the stored int8 V — replacing the [block_s, d] V dequant
+            # pass with VPU work on a tensor d/g_pad times smaller. p >= 0
+            # and is bounded by its row max, so one unsigned-range scale
+            # per row loses <1/254 of the row's mass resolution; the
+            # 1e-20 floor covers fully-masked steps (pw all zero).
+            pw = p * vs_ref[0, 0][None, :]
+            p_s = jnp.maximum(jnp.max(pw, axis=1, keepdims=True),
+                              1e-20) * (1.0 / 127.0)
+            pi = jnp.round(pw / p_s).astype(jnp.int8)
+            pv32 = jax.lax.dot_general(
+                pi, v_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            pv = pv32.astype(jnp.float32) * p_s
+        else:
+            v = v_ref[0]
+            vc = _dequant_block(v, quantized) if quantized else v
+            if quantized:
+                p = p * vs_ref[0, 0][None, :]
+            pv = jax.lax.dot_general(
+                p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.DEFAULT
+                           if vc.dtype == jnp.bfloat16
+                           else jax.lax.Precision.HIGHEST))
         acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(step == steps - 1)
@@ -185,14 +228,22 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
     g_pad = _round_up(group, 16)
 
     if block_s is None:
-        # Largest 128-multiple divisor of s_total up to 4096: per-grid-step
-        # overhead dominates this kernel, so fewer, bigger steps win until
-        # VMEM (4096 x 128 x 2B x 2 bufs x 2 double-buffered = 4 MB).
-        # Measured at the headline 4224-slot cache (B=1, GQA 32/8, bf16):
-        # block_s=128 (33 steps) 0.11 ms; 384 (11) 0.054; 1408 (3) 0.019 —
-        # ~920 GB/s, at the chip's HBM roofline.
+        # Fewest grid steps whose double-buffered K+V blocks fit an 8 MiB
+        # VMEM budget: per-grid-step overhead dominates this kernel, so
+        # bigger blocks win monotonically. Measured at the headline
+        # 4224-slot cache (B=1, GQA 32/8): block_s=128 (33 steps) 0.11 ms;
+        # 384 (11) 0.054; 1408 (3) 0.018/0.022/0.028 bf16/int8/fp8;
+        # 4224 (single step) 0.010/0.012/0.023 — the old fixed 4096 cap
+        # (4 MiB budget at bf16) forced the 3-step split and nearly
+        # doubled the step. The budget is per-dtype: int8 storage halves
+        # the block bytes, so quantized caches keep the single step out
+        # to twice the window. Short ragged slots trade some dead read
+        # (one full block instead of hwm-truncated steps) for the same
+        # per-step saving, a net win at these block sizes.
+        cap = (8 * 1024 * 1024) // (4 * d_pad * k_buf.dtype.itemsize)
+        cap = max(LANES, min(cap, s_total) // LANES * LANES)
         block_s = LANES
-        for cand in range(4096, LANES - 1, -LANES):
+        for cand in range(cap, LANES - 1, -LANES):
             if s_total % cand == 0:
                 block_s = cand
                 break
@@ -208,8 +259,12 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
     vb = v_buf.reshape(B * H_kv, s_total, d_pad)
 
     def pack_scale(sc):
-        sc = sc.reshape(B * H_kv, 1, s_total).astype(jnp.float32)
-        return jnp.broadcast_to(sc, (B * H_kv, SUBLANES, s_total))
+        # a single sublane row per (b, kv-head): a materialized
+        # SUBLANES-high broadcast here cost ~4 MB of dead write+read
+        # traffic per decode call — comparable to the int8 KV bytes
+        # themselves (the reason int8 decode initially timed SLOWER than
+        # bf16 at half the stored bytes)
+        return sc.reshape(B * H_kv, 1, s_total).astype(jnp.float32)
 
     if quantized:
         ks = pack_scale(k_scale)
@@ -219,7 +274,7 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
         # block with a constant index map so no per-step scale DMAs are
         # pipelined (the decode step is HBM-bound; all-ones scale tiles
         # were ~12% dead traffic)
-        ks = vs = jnp.ones((1, SUBLANES, block_s), jnp.float32)
+        ks = vs = jnp.ones((1, 1, block_s), jnp.float32)
 
     use_aux = s_aux is not None
     if use_aux:
@@ -243,11 +298,11 @@ def _decode_call(q, k_buf, v_buf, k_scale, v_scale, lens, s_aux, *,
             pl.BlockSpec((1, g_pad, d_pad), lambda bh, s, lens: (bh, 0, 0)),
             pl.BlockSpec((1, block_s, d_pad), kv_index),
             pl.BlockSpec((1, block_s, d_pad), kv_index),
-            pl.BlockSpec((1, SUBLANES, block_s),
+            pl.BlockSpec((1, 1, block_s),
                          (lambda bh, s, lens: kv_index(bh, s, lens)[:1] +
                           (0, kv_index(bh, s, lens)[1])) if quantized
                          else (lambda bh, s, lens: (0, 0, 0))),
-            pl.BlockSpec((1, SUBLANES, block_s),
+            pl.BlockSpec((1, 1, block_s),
                          (lambda bh, s, lens: kv_index(bh, s, lens)[:1] +
                           (0, kv_index(bh, s, lens)[1])) if quantized
                          else (lambda bh, s, lens: (0, 0, 0))),
